@@ -1,0 +1,33 @@
+"""Skew handling for the long-tail conv_id distribution (X2).
+
+The transcripts table's conv_id is long-tail skewed (one conversation
+can hold a large fraction of all turns). AQE's skew-join splitting
+only fixes *joins*; the heavy stage here is the extraction UDF, so we
+salt explicitly: repartition on (conv_id, salt) where salt =
+pmod(hash(conv_id, turn_idx), S). Deterministic (no rand()) so a
+resumed job produces identical partitioning, and turn-level — a hot
+conversation spreads across S tasks.
+
+The extraction stage is per-turn stateless, so salting is always
+safe; downstream stages that need conv-level grouping (T1 ordering)
+re-shuffle on conv_id anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salt_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col("conv_id"), F.col("turn_idx")), F.lit(salt_buckets))
+    )
+    return salted.repartition(num_partitions, F.col("conv_id"), F.col("_salt")).drop("_salt")
+
+
+def turn_order(df: DataFrame) -> DataFrame:
+    """T1: deterministic per-conversation turn numbering — the ordering
+    contract under which per-turn text equality vs the reference holds."""
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+    return df.withColumn("turn_rank", F.row_number().over(w))

@@ -1,0 +1,42 @@
+"""Operator-level correctness pairs for the driver's DuckDB oracle.
+
+Every implemented operator from SURVEY.md §2 gets a (Spark callable,
+ANSI-SQL string) pair exercised on the driver's sf0.01 parquet tables
+(region nation customer supplier part orders lineitem events documents
+embeddings). Column names/aliases must match exactly between the two —
+the driver hashes values after sorting columns by name.
+
+Ops whose semantics aren't SQL-expressible (broadcast match structure,
+Arrow matcher) appear in ``spark_queries`` only → rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from lnex_spark import oracle_defs  # noqa: F401  (registration side effects)
+
+    return dict(_QUERIES)
+
+
+def duckdb_sql() -> dict[str, str]:
+    from lnex_spark import oracle_defs  # noqa: F401
+
+    return dict(_ORACLES)

@@ -1,0 +1,169 @@
+"""The flagship job: transcripts → location-mention KG triples
+(SURVEY.md §3.3). Composes G1-G7 → X2 → (T2+T3+M1-M3) → L1-L3 → K1-K2.
+
+Physical plan of record (§4.4): three shuffles total —
+  #1 the salted repartition in front of the extraction UDF (skew),
+  #2 the L2 window rank (keyed by mention),
+  #3 the L3 canonical vote (keyed by distinct surface form — tiny).
+The gazetteer side never shuffles the big table: L1 is a broadcast
+hash join. The extraction stage is one mapInPandas (one Arrow
+boundary).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lnex_spark.gazetteer.build import (
+    build_match_struct,
+    build_name_variants,
+    build_unigram_lm,
+    scan_gazetteer,
+)
+from lnex_spark.operators.extract import extract_mentions_df
+from lnex_spark.operators.link import apply_canonical, canonicalize, link_mentions, score_candidates
+from lnex_spark.operators.skew import salt_repartition
+from lnex_spark.operators.triples import mention_triples, region_triples
+
+
+@dataclass
+class GazetteerModel:
+    """Built gazetteer artifacts: the variant table (relational side of
+    L1) and the broadcast match structure (imperative side of M1)."""
+
+    variants: DataFrame
+    unigram: DataFrame
+    bc_struct: object = field(repr=False, default=None)
+
+
+def build_gazetteer(
+    spark: SparkSession,
+    gazetteer_df: DataFrame,
+    stopwords_df: DataFrame,
+    wordlist_df: DataFrame | None = None,
+    bbox: list[float] | None = None,
+    mode: str = "hp",
+) -> GazetteerModel:
+    gaz = scan_gazetteer(spark, gazetteer_df, bbox)
+    variants = build_name_variants(gaz, stopwords_df, mode=mode)
+    # the variant table is read twice (L1 join + G7 collect) and is
+    # small by construction (region-scoped) → cache it
+    variants = variants.cache()
+    unigram = build_unigram_lm(variants, wordlist_df)
+    bc = build_match_struct(spark, variants, unigram)
+    return GazetteerModel(variants=variants, unigram=unigram, bc_struct=bc)
+
+
+def extract_link(
+    transcripts: DataFrame,
+    model: GazetteerModel,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """transcripts → canonical linked mentions (conv_id, turn_idx,
+    start, end, surface, norm, geo_id, ...)."""
+    t = transcripts
+    if salt_partitions:
+        t = salt_repartition(t, salt_partitions)
+    mentions = extract_mentions_df(t, model.bc_struct)
+    linked = link_mentions(mentions, model.variants)
+    winners = score_candidates(linked)
+    canon = canonicalize(winners)
+    return apply_canonical(winners, canon)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    gazetteer_df: DataFrame,
+    stopwords_df: DataFrame,
+    wordlist_df: DataFrame | None = None,
+    bbox: list[float] | None = None,
+    mode: str = "hp",
+    salt_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (mention_triples, region_triples)."""
+    model = build_gazetteer(spark, gazetteer_df, stopwords_df, wordlist_df, bbox, mode)
+    final = extract_link(transcripts, model, salt_partitions)
+    return mention_triples(final), region_triples(gazetteer_df)
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    model: GazetteerModel,
+    winners_path: str,
+    manifest_path: str,
+    n_buckets: int = 8,
+    buckets_per_batch: int = 4,
+    fail_after_batches: int | None = None,
+    salt_partitions: int | None = None,
+) -> list[int]:
+    """X3 stage 1: checkpoint-resumable extraction over conv_id buckets.
+
+    The EXPENSIVE stage (extract + link + score) is the unit of resume:
+    each batch of buckets writes its L2-winner mentions partitioned by
+    bucket (dynamic partition overwrite → idempotent) and appends
+    lineage+metrics rows to the manifest. Canonicalization is corpus-
+    global, so it deliberately lives in ``finalize_triples`` — run once
+    after all buckets complete; this makes a resumed run bit-identical
+    to an uninterrupted one regardless of where it was killed.
+    Returns the bucket ids processed in this invocation.
+    """
+    from lnex_spark.operators.lineage import (
+        StageTimer,
+        pending_buckets,
+        record_buckets,
+        with_bucket,
+    )
+
+    pending = pending_buckets(spark, manifest_path, n_buckets)
+    bucketed = with_bucket(transcripts, n_buckets)
+    processed: list[int] = []
+    batch_no = 0
+    for i in range(0, len(pending), buckets_per_batch):
+        if fail_after_batches is not None and batch_no >= fail_after_batches:
+            break
+        batch = pending[i : i + buckets_per_batch]
+        subset = bucketed.filter(F.col("bucket").isin(batch))
+        with StageTimer() as timer:
+            t = subset.drop("bucket")
+            if salt_partitions:
+                t = salt_repartition(t, salt_partitions)
+            mentions = extract_mentions_df(t, model.bc_struct)
+            winners = score_candidates(link_mentions(mentions, model.variants))
+            winners = winners.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+            )
+            n_mentions = winners.count()
+            (
+                winners.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(winners_path)
+            )
+            n_turns = subset.count()
+        per = max(len(batch), 1)
+        batch_id = f"batch-{batch_no}"
+        record_buckets(
+            spark,
+            manifest_path,
+            [
+                (int(b), n_turns // per, n_mentions // per, 0, timer.wall_ms // per, batch_id)
+                for b in batch
+            ],
+        )
+        processed.extend(batch)
+        batch_no += 1
+    return processed
+
+
+def finalize_triples(spark: SparkSession, winners_path: str) -> DataFrame:
+    """X3 stage 2: global canonicalize + triple emit over all
+    checkpointed winner partitions (cheap: keyed on distinct surface
+    forms). Deterministic given complete stage-1 output."""
+    winners = spark.read.parquet(winners_path).drop("bucket")
+    canon = canonicalize(winners)
+    return mention_triples(apply_canonical(winners, canon))
