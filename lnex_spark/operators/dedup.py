@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+  * exact: hash-groupBy on a normalized md5 fingerprint — one shuffle
+    keyed by a 32-char string, partial+final aggregated;
+  * MinHash+LSH: shingle → k minhashes → band buckets → bucket-join.
+    The self-join is on (band, band_hash) buckets, never all-pairs:
+    candidate volume is O(sum of bucket^2), controlled by band width;
+  * n-gram Jaccard: exact verification on LSH candidates only (or,
+    below a row threshold, on shared-shingle pairs);
+  * SimHash: one pandas UDF per doc batch producing a 64-bit
+    signature; near-dup = Hamming distance via xor+popcount built-ins.
+
+Hashing is md5-based (not xxhash/murmur) so every step is
+reproducible in ANSI SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lnex_spark.operators.textquality import fingerprint
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: fingerprint,
+    group size, representative (min doc_id). Keep-one policy =
+    keep the representative."""
+    fp = fingerprint(docs, text_col)
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Built-ins only: split → sliding window via transform over indexes."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .where(F.size(toks) >= n)
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, h in 0..k-1, minhash): minhash_i = min(md5(i || ':' ||
+    shingle)). md5-as-hex min over strings ≡ min over the 128-bit
+    integer — stable across engines."""
+    sh = shingles(docs, n, text_col)
+    hashes = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))).alias("hv"),
+    )
+    return hashes.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the k minhashes into ``bands`` buckets; docs sharing any
+    (band, band_key) are candidate pairs (a < b). THE scale step: the
+    join is per-bucket, not all-pairs."""
+    banded = (
+        sigs.withColumn("band", F.pmod(F.col("h"), F.lit(bands)))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for near-dup pairs.
+
+    With ``candidates`` (from LSH) verifies only those pairs — the
+    scale path. Without, generates pairs from shared shingles (safe on
+    small/sampled inputs; the shared-shingle join IS the blocking)."""
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc (vectorized pandas UDF; md5-derived
+    per-token 64-bit hashes, majority vote per bit)."""
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                hv = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = (hv >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sig = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= 1 << b
+            # two's-complement into int64
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return docs.select("doc_id", simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash Hamming distance. Blocking on 16-bit bands
+    (a pair within distance 3 shares at least one of 4 bands exact) —
+    same LSH trick, built-ins only: xor + bit_count."""
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

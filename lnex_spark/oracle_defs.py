@@ -1,8 +1,16 @@
 """Registered (Spark, DuckDB-SQL) operator pairs — see oracles.py.
 
-Each op re-expresses one SURVEY.md §2 operator over the driver's
-testdata tables. Spark side uses built-in functions only (the point of
-the oracle is the relational semantics, not the UDF islands).
+Each op re-expresses one SURVEY.md §2 operator (or a training-data
+pipeline op) over the driver's testdata tables. Spark sides call the
+engine's operator implementations wherever one exists, so the oracle
+exercises real engine code. Pairs share exact column names/aliases;
+floats are rounded identically on both sides before hashing; ranking
+always orders on the rounded value with an id tiebreak so row sets
+are bit-comparable.
+
+Ops registered WITHOUT SQL are the genuinely non-relational islands
+(broadcast match structure, Arrow matcher, numpy LSH planes, media
+decode) → the driver records rows-only checks for them.
 """
 
 from __future__ import annotations
@@ -17,7 +25,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# --- G2 name_normalize: lowercase/strip/collapse over part names -------
+# ======================================================================
+# KG-pipeline operators (SURVEY.md §2A)
+# ======================================================================
+
+
+# --- G2 name_normalize -------------------------------------------------
 @register(
     "g2_name_normalize",
     """
@@ -32,3 +45,824 @@ def g2_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(F.col("p_name")), r"[^a-z0-9 ]", " "), r" +", " ")
     )
     return p.select("p_partkey", norm.alias("norm"))
+
+
+# --- G3 altname_explode: every name variant becomes its own row --------
+@register(
+    "g3_altname_explode",
+    """
+    SELECT p_partkey, unnest([p_name, p_brand, p_type]) AS variant
+    FROM part
+    """,
+)
+def g3_altname_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.explode(F.array(F.col("p_name"), F.col("p_brand"), F.col("p_type"))).alias("variant"),
+    )
+
+
+# --- G5 gaz_filter: noise predicates + stopword anti-join ---------------
+@register(
+    "g5_gaz_filter",
+    """
+    WITH toks AS (
+      SELECT p_partkey, unnest(string_split(lower(p_name), ' ')) AS tok FROM part
+    )
+    SELECT p_partkey, tok FROM toks
+    WHERE len(tok) > 0 AND NOT regexp_matches(tok, '^[0-9]+$')
+      AND tok NOT IN ('almond','antique','aquamarine','azure','beige','bisque','black','blanched')
+    """,
+)
+def g5_gaz_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    stop = spark.createDataFrame(
+        [(w,) for w in ["almond", "antique", "aquamarine", "azure", "beige", "bisque", "black", "blanched"]],
+        "tok string",
+    )
+    toks = p.select("p_partkey", F.explode(F.split(F.lower("p_name"), " ")).alias("tok"))
+    toks = toks.filter((F.length("tok") > 0) & (~F.col("tok").rlike(r"^[0-9]+$")))
+    return toks.join(F.broadcast(stop), on="tok", how="left_anti")
+
+
+# --- G6 unigram_lm: token frequency counts ------------------------------
+@register(
+    "g6_unigram_lm",
+    """
+    SELECT tok AS word, count(*) AS freq
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents)
+    WHERE len(tok) > 0
+    GROUP BY tok
+    """,
+)
+def g6_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+    return toks.filter(F.length("word") > 0).groupBy("word").agg(F.count("*").alias("freq"))
+
+
+# --- T1 turn_order: ranking window over a skewed stream ----------------
+@register(
+    "t1_turn_order",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+    FROM events
+    """,
+)
+def t1_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select("user_id", "event_id", F.row_number().over(w).alias("turn_rank"))
+
+
+# --- T2 preprocess: tweet-style regex cleanup ---------------------------
+@register(
+    "t2_preprocess",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                'https?://[^ ]+|www\\.[^ ]+', ' ', 'g'),
+                '@[a-z0-9_]+', ' ', 'g'),
+                '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def t2_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = F.lower(F.col("text"))
+    c = F.regexp_replace(c, r"https?://[^ ]+|www\.[^ ]+", " ")
+    c = F.regexp_replace(c, r"@[a-z0-9_]+", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return d.select("doc_id", c.alias("clean_text"))
+
+
+# --- T3 hashtag_segment (rows-only: Viterbi over broadcast LM) ----------
+@register("t3_hashtag_segment")
+def t3_hashtag_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment synthetic hashtags built from document token pairs."""
+    import pandas as pd
+
+    from lnex_spark.operators.textproc import HashtagSegmenter
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+    )
+    freq = {r[0]: int(r[1]) for r in toks.collect()}
+    bc = spark.sparkContext.broadcast(freq)
+    tags = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("#"),
+            F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 1),
+            F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 2),
+        ).alias("hashtag"),
+    )
+
+    def _seg(s):
+        sg = HashtagSegmenter(bc.value)
+        return s.map(lambda h: " ".join(sg.segment(h[1:])))
+
+    seg = F.pandas_udf(_seg, "string")
+
+    return tags.select("doc_id", "hashtag", seg(F.col("hashtag")).alias("segmented"))
+
+
+# --- G7 match_struct (rows-only: broadcast structure contents) ----------
+@register("g7_match_struct")
+def g7_match_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.data import fixtures as FX
+    from lnex_spark.gazetteer.build import (
+        GAZETTEER_SCHEMA,
+        build_match_struct,
+        build_name_variants,
+        build_unigram_lm,
+    )
+
+    gaz = spark.createDataFrame(FX.gen_gazetteer("chennai"), GAZETTEER_SCHEMA)
+    stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
+    variants = build_name_variants(gaz, stop)
+    bc = build_match_struct(spark, variants, build_unigram_lm(variants, None))
+    st = bc.value
+    rows = [(n, len(n.split(" ")), n in st.prefixes) for n in sorted(st.full_names)]
+    return spark.createDataFrame(rows, "norm string, n_tokens int, is_own_prefix boolean")
+
+
+# --- M1 ngram_match (rows-only: the Arrow matcher island) ---------------
+@register("m1_ngram_match")
+def m1_ngram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.data import fixtures as FX
+    from lnex_spark.data.derive import transcripts_from_documents
+    from lnex_spark.gazetteer.build import (
+        GAZETTEER_SCHEMA,
+        build_match_struct,
+        build_name_variants,
+        build_unigram_lm,
+    )
+    from lnex_spark.operators.extract import extract_mentions_df
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = transcripts_from_documents(docs, "chennai")
+    gaz = spark.createDataFrame(FX.gen_gazetteer("chennai"), GAZETTEER_SCHEMA)
+    stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
+    wl = spark.createDataFrame(FX.gen_wordlist(), "word string, freq long")
+    variants = build_name_variants(gaz, stop)
+    bc = build_match_struct(spark, variants, build_unigram_lm(variants, wl))
+    return extract_mentions_df(transcripts, bc)
+
+
+# --- M2 overlap_resolve (relational containment form) -------------------
+@register(
+    "m2_overlap_resolve",
+    """
+    WITH spans AS (
+      SELECT l_orderkey AS grp, l_linenumber AS start,
+             l_linenumber + CAST(l_quantity AS BIGINT) % 7 + 1 AS "end"
+      FROM lineitem
+    ), d AS (SELECT DISTINCT grp, start, "end" FROM spans)
+    SELECT x.grp, x.start, x."end" FROM d x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d y
+      WHERE y.grp = x.grp AND y.start <= x.start AND y."end" >= x."end"
+        AND (y."end" - y.start) > (x."end" - x.start)
+    )
+    """,
+)
+def m2_overlap_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        F.col("l_orderkey").alias("grp"),
+        F.col("l_linenumber").alias("start"),
+        (F.col("l_linenumber") + F.col("l_quantity").cast("long") % 7 + 1).alias("end"),
+    ).distinct()
+    x, y = spans.alias("x"), spans.alias("y")
+    contained = (
+        (F.col("y.grp") == F.col("x.grp"))
+        & (F.col("y.start") <= F.col("x.start"))
+        & (F.col("y.end") >= F.col("x.end"))
+        & ((F.col("y.end") - F.col("y.start")) > (F.col("x.end") - F.col("x.start")))
+    )
+    return x.join(y, contained, "left_anti").select("grp", "start", "end")
+
+
+# --- L1 entity_link: broadcast hash equi-join ---------------------------
+@register(
+    "l1_entity_link",
+    """
+    SELECT c_custkey, c_name, n_name AS nation
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def l1_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    )
+
+
+# --- L2 link_score: deterministic best-candidate ranking ----------------
+@register(
+    "l2_link_score",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk = 1
+    """,
+)
+def l2_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --- L3 canonicalize: two-stage majority vote ----------------------------
+@register(
+    "l3_canonicalize",
+    """
+    SELECT o_custkey, o_orderpriority AS canonical FROM (
+      SELECT o_custkey, o_orderpriority, count(*) AS votes,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY count(*) DESC, o_orderpriority ASC) AS rk
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    ) WHERE rk = 1
+    """,
+)
+def l3_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    votes = o.groupBy("o_custkey", "o_orderpriority").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("votes").desc(), F.col("o_orderpriority").asc())
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("canonical"))
+    )
+
+
+# --- K1 triple_emit ------------------------------------------------------
+@register(
+    "k1_triple_emit",
+    """
+    SELECT CAST(user_id AS VARCHAR) || '#' || CAST(event_id AS VARCHAR) AS subj,
+           'performedEvent' AS pred, event_type AS obj
+    FROM events
+    """,
+)
+def k1_triple_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.concat_ws("#", F.col("user_id"), F.col("event_id")).alias("subj"),
+        F.lit("performedEvent").alias("pred"),
+        F.col("event_type").alias("obj"),
+    )
+
+
+# --- X1 geo_math: haversine + bbox test ----------------------------------
+@register(
+    "x1_geo_math",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 170) - 85 + 0.25 AS lat, (c_custkey % 350) - 175 + 0.5 AS lon
+      FROM customer
+    )
+    SELECT c_custkey,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(13.0827 - lat) / 2), 2) +
+             cos(radians(lat)) * cos(radians(13.0827)) *
+             pow(sin(radians(80.2707 - lon) / 2), 2))), 4) AS dist_km,
+           (lat BETWEEN 0 AND 45) AND (lon BETWEEN 60 AND 100) AS in_bbox
+    FROM pts
+    """,
+)
+def x1_geo_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.geomath import haversine_km, in_bbox
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 170) - 85 + 0.25).alias("lat"),
+        ((F.col("c_custkey") % 350) - 175 + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(haversine_km(F.col("lat"), F.col("lon"), F.lit(13.0827), F.lit(80.2707)), 4).alias("dist_km"),
+        in_bbox(F.col("lat"), F.col("lon"), [0.0, 60.0, 45.0, 100.0]).alias("in_bbox"),
+    )
+
+
+# --- X2 skew_salt (rows-only: salted partition balance) ------------------
+@register("x2_skew_salt")
+def x2_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.data.derive import transcripts_from_documents
+    from lnex_spark.operators.skew import salt_repartition
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs, "chennai")
+    salted = salt_repartition(t, 16)
+    return (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n_turns"), F.countDistinct("conv_id").alias("n_convs"))
+        .orderBy("pid")
+    )
+
+
+# --- X3 checkpoint_lineage (rows-only: manifest of a resumable run) ------
+@register("x3_checkpoint_lineage")
+def x3_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from lnex_spark.data import fixtures as FX
+    from lnex_spark.data.derive import transcripts_from_documents
+    from lnex_spark.gazetteer.build import GAZETTEER_SCHEMA
+    from lnex_spark.pipeline import build_gazetteer, run_resumable
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs, "chennai")
+    gaz = spark.createDataFrame(FX.gen_gazetteer("chennai"), GAZETTEER_SCHEMA)
+    stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
+    wl = spark.createDataFrame(FX.gen_wordlist(), "word string, freq long")
+    model = build_gazetteer(spark, gaz, stop, wl)
+    with tempfile.TemporaryDirectory() as tmp:
+        run_resumable(spark, t, model, f"{tmp}/winners", f"{tmp}/manifest", n_buckets=4)
+        m = spark.read.parquet(f"{tmp}/manifest").select("bucket", "batch_id").orderBy("bucket")
+        m = spark.createDataFrame(m.collect(), "bucket int, batch_id string")
+    return m
+
+
+# --- E1 eval_pr: precision/recall arithmetic -----------------------------
+@register(
+    "e1_eval_pr",
+    """
+    WITH emitted AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 150000),
+         gold AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         tp AS (SELECT count(*) AS n FROM emitted JOIN gold USING (o_orderkey))
+    SELECT round(tp.n * 1.0 / (SELECT count(*) FROM emitted), 6) AS precision,
+           round(tp.n * 1.0 / (SELECT count(*) FROM gold), 6) AS recall
+    FROM tp
+    """,
+)
+def e1_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    emitted = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey").distinct()
+    gold = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").distinct()
+    tp = emitted.join(gold, "o_orderkey").count()
+    return spark.createDataFrame(
+        [(round(tp / emitted.count(), 6), round(tp / gold.count(), 6))],
+        "precision double, recall double",
+    )
+
+
+# --- flagship (rows-only): full KG pipeline on derived transcripts -------
+@register("flagship_kg_triples")
+def flagship_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.data import fixtures as FX
+    from lnex_spark.data.derive import transcripts_from_documents
+    from lnex_spark.gazetteer.build import GAZETTEER_SCHEMA
+    from lnex_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    t = transcripts_from_documents(docs, "chennai")
+    gaz = spark.createDataFrame(FX.gen_gazetteer("chennai"), GAZETTEER_SCHEMA)
+    stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
+    wl = spark.createDataFrame(FX.gen_wordlist(), "word string, freq long")
+    m, _ = run_pipeline(spark, t, gaz, stop, wl, salt_partitions=8)
+    return m
+
+
+# ======================================================================
+# Relational coverage (SURVEY.md §2B): aggregation, joins, windows,
+# rollup, set ops — the engine's Catalyst-planned building blocks
+# ======================================================================
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+    SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "window_running_value",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value"))
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, '∅') AS l_returnflag,
+           coalesce(l_linestatus, '∅') AS l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("∅")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("∅")).alias("l_linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "set_ops_priorities",
+    """
+    SELECT v FROM (
+      SELECT DISTINCT o_orderpriority AS v FROM orders
+      EXCEPT
+      SELECT DISTINCT l_returnflag AS v FROM lineitem
+    )
+    UNION ALL
+    SELECT v FROM (
+      SELECT DISTINCT l_returnflag AS v FROM lineitem
+      INTERSECT
+      SELECT DISTINCT o_orderstatus AS v FROM orders
+    )
+    """,
+)
+def set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    prios = o.select(F.col("o_orderpriority").alias("v")).distinct()
+    flags = li.select(F.col("l_returnflag").alias("v")).distinct()
+    stats = o.select(F.col("o_orderstatus").alias("v")).distinct()
+    return prios.exceptAll(flags).distinct().unionAll(flags.intersect(stats))
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS side, count(*) AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS side, count(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [("with_orders", semi), ("without_orders", anti)], "side string, n long"
+    )
+
+
+# ======================================================================
+# Training-data pipeline ops (documents / embeddings)
+# ======================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM uni GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dup))
+
+
+@register(
+    "dedup_minhash_sig",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos)
+    SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM sh, (SELECT unnest(range(0, 4)) AS h)
+    GROUP BY doc_id, h
+    """,
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, k=4, n=3).withColumn("h", F.col("h").cast("long"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM uni),
+    pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 100)
+    dup = d.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return jaccard_pairs(base.unionByName(dup), n=3, threshold=0.8)
+
+
+# MinHash-LSH candidate pairs + SimHash: rows-only (banding layout /
+# numpy bit math not worth re-deriving in SQL; exactness covered by
+# dedup_minhash_sig + unit tests)
+@register("dedup_lsh_pairs")
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    sigs = minhash_signatures(d.unionByName(dup), k=8, n=3)
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.dedup import simhash_near_dups, simhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    sigs = simhash_signatures(d.unionByName(dup))
+    return simhash_near_dups(sigs, max_hamming=3)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT query_id, vec_id, eq, embedding AS ev
+      FROM embeddings, q WHERE vec_id != query_id
+    ),
+    flat AS (
+      SELECT query_id, vec_id,
+             unnest(eq) AS x, unnest(ev) AS y
+      FROM pairs
+    ),
+    dots AS (
+      SELECT query_id, vec_id,
+             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx,
+             sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS ny
+      FROM flat GROUP BY query_id, vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) AS rank
+      FROM dots
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_bruteforce(e, q, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_cosine_lsh")
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_lsh(e, q, dim=64, k=5, n_planes=8)
+
+
+@register("embedding_near_dups")
+def embedding_near_dups_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    # plant known near-dups: exact copies of vec_id < 50 under new ids
+    dup = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dups(e.select("vec_id", "embedding").unionByName(dup), threshold=0.95)
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.textquality import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.textquality import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _dd_word_count(word: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    return (
+        f"CAST((len({pad}) - len(replace({pad}, ' {word} ', ' '))) / {len(word) + 1} AS BIGINT)"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+        {_dd_word_count('der')} + {_dd_word_count('die')} + {_dd_word_count('und')} + {_dd_word_count('ist')} + {_dd_word_count('nicht')} AS h_de,
+        {_dd_word_count('the')} + {_dd_word_count('and')} + {_dd_word_count('of')} + {_dd_word_count('to')} + {_dd_word_count('is')} AS h_en,
+        {_dd_word_count('el')} + {_dd_word_count('los')} + {_dd_word_count('que')} + {_dd_word_count('por')} + {_dd_word_count('una')} AS h_es,
+        {_dd_word_count('le')} + {_dd_word_count('la')} + {_dd_word_count('et')} + {_dd_word_count('les')} + {_dd_word_count('des')} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           greatest(h_de, h_en, h_es, h_fr) AS marker_hits
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.textquality import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(text) AS n_chars,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             len(text) - len(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct,
+             {_dd_word_count('the')} + {_dd_word_count('and')} + {_dd_word_count('of')} + {_dd_word_count('to')} + {_dd_word_count('is')} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct,
+           round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END, 6) AS stop_ratio,
+           round(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0 END, 6) AS mean_word_len,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * (1 - least(CASE WHEN n_chars > 0 THEN n_punct * 5.0 / n_chars ELSE 0 END, 1.0))
+               + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop * 3.0 / n_tokens ELSE 0 END, 1.0), 6) AS quality_score
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.textquality import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id, CAST(r AS INT) AS frame_no, CAST(r * 1000 AS BIGINT) AS ts_ms
+    FROM documents, LATERAL (SELECT unnest(range(0, (doc_id % 300) + 1)) AS r)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.multimodal import frame_sample_plan, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(synthesize_media(docs), every_ms=1000).select(
+        "media_id", F.col("frame_no").cast("int").alias("frame_no"), F.col("ts_ms").cast("long").alias("ts_ms")
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.multimodal import decode_features, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(synthesize_media(docs))

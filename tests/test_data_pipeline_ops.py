@@ -1,0 +1,140 @@
+"""Dedup / similarity / text-quality / multimodal operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lnex_spark.operators import dedup, multimodal, similarity, textquality
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different words entirely here now"),
+        (4, ""),
+        (5, "der hund und die katze ist nicht da"),
+        (6, "le chat et la souris des les oiseaux"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2 and got[0]["keep_doc_id"] == 0
+
+
+def test_shingles(docs):
+    sh = dedup.shingles(docs.filter("doc_id = 0"), n=3).collect()
+    texts = {r["shingle"] for r in sh}
+    assert "the quick brown" in texts and "the lazy dog" in texts
+    assert len(sh) == 7  # 9 tokens -> 7 trigrams (all distinct)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs, k=8, n=3)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_pairs(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.3 <= got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_hamming(docs):
+    sigs = dedup.simhash_signatures(docs)
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_near_dups(sigs, max_hamming=6).collect()}
+    assert near[(0, 1)] == 0  # identical text -> identical signature
+    assert (0, 2) in near  # one-word change -> few bits
+
+
+def test_token_count_and_fingerprint(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in docs.select("doc_id", textquality.token_count_col(F.col("text")).alias("n_tokens")).collect()}
+    assert tc[0] == 9 and tc[4] == 0
+    fp = {r["doc_id"]: r["fp"] for r in textquality.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in textquality.lang_id(docs).collect()}
+    assert got[0] == "en" and got[5] == "de" and got[6] == "fr"
+    assert got[3] == "und"  # no marker hits
+
+
+def test_quality_score_bounds(docs):
+    rows = textquality.quality_features(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["punct_ratio"] >= 0.0 and r["stop_ratio"] >= 0.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # 20 and 21: exact copy + tiny perturbation of vector 0
+    rows.append((20, base[0].tolist()))
+    rows.append((21, (base[0] + 0.001 * rng.standard_normal(16).astype("float32")).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk_exact(emb):
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk_bruteforce(emb, q, k=3).collect()
+    assert len(got) == 3
+    # top neighbors of 0 are its exact copy (cos=1) and the perturbed one
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {20, 21}
+    assert got[0]["cosine"] >= 0.999
+
+
+def test_lsh_topk_contains_exact_copy(emb):
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk_lsh(emb, q, dim=16, k=5, n_planes=4).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 20 in ids  # identical vector always shares every bucket
+
+
+def test_embedding_near_dups(emb):
+    got = {(r["vec_a"], r["vec_b"]) for r in similarity.embedding_near_dups(emb, threshold=0.99).collect()}
+    assert (0, 20) in got and (0, 21) in got
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.decode_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[4]["n_bytes"] == 0 and by_id[4]["feature"] == [0.0] * 8
+    assert by_id[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic across invocations
+    feats2 = multimodal.decode_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_real_decoder_stubbed(docs):
+    media = multimodal.synthesize_media(docs).limit(1)
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        multimodal.decode_features(media, use_real_decoder=True).collect()
+
+
+def test_frame_sample_plan(docs):
+    media = multimodal.synthesize_media(docs)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["ts_ms"] == r["frame_no"] * 1000 for r in rows)
+    vids = {r["media_id"] for r in rows}
+    assert vids == {2, 5}  # doc_id % 3 == 2
