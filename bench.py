@@ -1,0 +1,158 @@
+"""Headline benchmark. Runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "extra": {"turns": N, "turns_per_sec": ..., "cpus": N}}
+
+Queries:
+  kg_flagship      full KG pipeline over ~40x-replicated transcripts
+                   derived from documents (the extraction-bound path)
+  dedup_minhash    MinHash signatures + LSH candidate pairs over docs
+  ann_topk         brute-force cosine top-k over embeddings
+  text_quality     columnar quality features over replicated turns
+  join_agg         3-way join + aggregate over lineitem/orders/customer
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from lnex_spark.data import fixtures as FX
+    from lnex_spark.data.derive import transcripts_from_documents
+    from lnex_spark.gazetteer.build import GAZETTEER_SCHEMA
+    from lnex_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from lnex_spark.operators.similarity import cosine_topk_bruteforce
+    from lnex_spark.operators.textquality import quality_features
+    from lnex_spark.pipeline import build_gazetteer, extract_link
+    from lnex_spark.operators.triples import mention_triples
+    from lnex_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="lnex_bench", shuffle_partitions=cpus)
+
+    # the local testdata tables are single parquet files → one input
+    # split; spread them to the session's parallelism after read so the
+    # bench reflects a real cluster's multi-file scan planning (on a
+    # cluster Iceberg file planning provides these splits for free)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    transcripts = transcripts_from_documents(
+        docs, "chennai", replicas=REPLICAS, dense_turn_idx=False
+    ).repartition(cpus * 2)
+    # materialize the derived input once so the flagship timing measures
+    # the ENGINE, not the synthetic-data generator
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()
+
+    gaz = spark.createDataFrame(FX.gen_gazetteer("chennai"), GAZETTEER_SCHEMA)
+    stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
+    wl = spark.createDataFrame(FX.gen_wordlist(), "word string, freq long")
+    model = build_gazetteer(spark, gaz, stop, wl)
+    model.variants.count()  # force the (cached) gazetteer build
+
+    # warm the Python worker pool (fork + pandas/numpy import is a
+    # one-time per-executor cost that a long-lived cluster amortizes;
+    # timing it against a seconds-scale local job would measure worker
+    # bootstrap, not the engine)
+    from lnex_spark.operators.extract import extract_mentions_df
+
+    extract_mentions_df(transcripts.limit(cpus * 200).repartition(cpus), model.bc_struct).count()
+
+    timings: dict[str, float] = {}
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+
+    def run(name: str, fn, reset=None) -> None:
+        if only and name not in only:
+            return
+        best = None
+        for i in range(repeat):
+            if i > 0 and reset is not None:
+                reset()  # outside the timed region
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    def reset_caches() -> None:
+        # drop the previous rep's persisted winners (Spark's cache
+        # manager would otherwise serve the identical plan from cache,
+        # turning reps 2..n into cache reads), then re-pin the inputs
+        spark.catalog.clearCache()
+        transcripts.persist().count()
+        model.variants.persist().count()
+
+    run(
+        "kg_flagship",
+        lambda: mention_triples(extract_link(transcripts, model, salt_partitions=cpus)).count(),
+        reset=reset_caches,
+    )
+    run(
+        "dedup_minhash",
+        lambda: lsh_candidate_pairs(minhash_signatures(docs, k=8, n=3), bands=4).count(),
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    run("ann_topk", lambda: cosine_topk_bruteforce(emb, q, k=10).count())
+    turns_as_docs = transcripts.select(F.col("turn_idx").cast("long").alias("doc_id"), "text")
+    run(
+        "text_quality",
+        lambda: quality_features(turns_as_docs).agg(F.avg("quality_score")).collect(),
+    )
+    run(
+        "join_agg",
+        lambda: (
+            customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(orders, orders.o_custkey == customer.c_custkey)
+            .join(li, li.l_orderkey == orders.o_orderkey)
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .count()
+        ),
+    )
+
+    total = round(sum(timings.values()), 3)
+    spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {
+                    "turns": n_turns,
+                    "turns_per_sec": round(n_turns / timings["kg_flagship"], 1),
+                    "cpus": cpus,
+                    "replicas": REPLICAS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

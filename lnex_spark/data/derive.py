@@ -43,13 +43,27 @@ def transcripts_from_documents(
     event: str = "chennai",
     n_convs: int = 200,
     mention_every: int = 5,
-    turns_per_doc: int = 1,
+    replicas: int = 1,
+    dense_turn_idx: bool = True,
 ) -> DataFrame:
-    """documents(doc_id, text, ...) → transcripts. Skew: doc_id % 5 == 0
-    routes to the hot conversation (~20% of turns)."""
+    """documents(doc_id, text, ...) → transcripts. Skew: row_id % 5 == 0
+    routes to the hot conversation (~20% of turns). ``replicas``
+    multiplies the corpus via explode(sequence(...)) — each replica
+    plants a different mention — so bench scales turn volume without
+    new source data (and without any driver-side loop)."""
     menu = mention_menu(event)
     menu_arr = F.array(*[F.lit(m) for m in menu])
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+
+    rows = docs.select("doc_id", "text")
+    if replicas > 1:
+        rows = rows.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r"),
+        ).select(
+            (F.col("doc_id") * replicas + F.col("_r")).alias("doc_id"), "text"
+        )
 
     conv_no = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(0)).otherwise(
         F.pmod(F.col("doc_id"), F.lit(n_convs - 1)) + 1
@@ -65,15 +79,23 @@ def transcripts_from_documents(
         ),
     ).otherwise(base)
 
-    t = docs.select(
+    t = rows.select(
         F.concat(F.lit(f"{event}-c"), F.lpad(conv_no.cast("string"), 6, "0")).alias("conv_id"),
         F.col("doc_id").alias("_doc_id"),
         planted.alias("text"),
     )
-    w = Window.partitionBy("conv_id").orderBy("_doc_id")
+    if dense_turn_idx:
+        # contiguous 0..n-1 per conversation (FIXTURES.md shape) — costs
+        # one shuffle with a hot partition (conv 0 holds 20% of turns)
+        w = Window.partitionBy("conv_id").orderBy("_doc_id")
+        turn_idx = (F.row_number().over(w) - 1).cast("int")
+    else:
+        # shuffle-free variant for throughput benchmarks: any
+        # deterministic per-conv-unique order works as turn_idx
+        turn_idx = F.col("_doc_id").cast("int")
     return t.select(
         "conv_id",
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        turn_idx.alias("turn_idx"),
         F.element_at(roles, (F.pmod(F.col("_doc_id"), F.lit(3)) + 1).cast("int")).alias("role"),
         "text",
         F.when(F.pmod(F.col("_doc_id"), F.lit(7)) == 0, F.lit("search")).otherwise(F.lit("")).alias("tool"),

@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def salt_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+def salt_repartition(df: DataFrame, num_partitions: int, salt_buckets: int | None = None) -> DataFrame:
+    """salt_buckets must comfortably exceed num_partitions: a hot
+    conv_id only spreads across min(salt_buckets, num_partitions)
+    tasks, so too few buckets re-creates the skew at high parallelism
+    (defaults to 4x partitions)."""
+    if salt_buckets is None:
+        salt_buckets = num_partitions * 4
     salted = df.withColumn(
         "_salt", F.pmod(F.hash(F.col("conv_id"), F.col("turn_idx")), F.lit(salt_buckets))
     )

@@ -21,7 +21,6 @@ paper §3.3-§4.2):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from functools import lru_cache
 
 _TOKEN_RE = re.compile(
@@ -40,13 +39,13 @@ _TOKEN_RE = re.compile(
 _SKIP_WORDS = frozenset({"rt"})
 
 
-@dataclass(frozen=True)
-class Token:
-    norm: str       # lowercased match text ("" for non-matchable)
-    start: int      # char offset into original text
-    end: int
-    kind: str       # word | hashtag_part | break
-    group: int      # hashtag group id (-1 = plain word)
+# Stream token = (norm, start, end, is_break, group):
+#   norm      lowercased match text ("" for non-matchable)
+#   start/end char offsets into the ORIGINAL text
+#   is_break  True → n-grams never cross this position
+#   group     hashtag group id (-1 = plain word)
+# Plain tuples, not a dataclass: this is the per-token hot path of the
+# Arrow matcher and attribute construction cost dominates otherwise.
 
 
 def tokenize_with_spans(text: str) -> list[tuple[str, int, int, str]]:
@@ -95,35 +94,38 @@ class HashtagSegmenter:
         return list(self._seg(s.lower())[0])
 
 
-def build_token_stream(text: str, segmenter: HashtagSegmenter | None) -> list[Token]:
+def build_token_stream(
+    text: str, segmenter: HashtagSegmenter | None
+) -> list[tuple[str, int, int, bool, int]]:
     """T2+T3 fused: matchable token stream with original-text spans.
 
-    URLs/@mentions/punctuation become ``break`` tokens (n-grams never
+    URLs/@mentions/punctuation become break tokens (n-grams never
     cross them); hashtags expand into per-word tokens that all carry
     the hashtag's full span and a shared group id (a match inside a
     hashtag reports the hashtag's span, per the reference's behavior of
     annotating the hashtag itself).
     """
-    stream: list[Token] = []
+    stream: list[tuple[str, int, int, bool, int]] = []
+    append = stream.append
     group = 0
     for raw, start, end, kind in tokenize_with_spans(text):
         if kind == "word":
             low = raw.lower()
             if low in _SKIP_WORDS:
-                stream.append(Token("", start, end, "break", -1))
+                append(("", start, end, True, -1))
             else:
-                stream.append(Token(low, start, end, "word", -1))
+                append((low, start, end, False, -1))
         elif kind == "num":
-            stream.append(Token(raw.lower(), start, end, "word", -1))
+            append((raw.lower(), start, end, False, -1))
         elif kind == "hashtag":
             body = raw[1:].lower()
             words = segmenter.segment(body) if segmenter else [body]
             group += 1
             for w in words:
-                stream.append(Token(w, start, end, "hashtag_part", group))
-            stream.append(Token("", end, end, "break", -1))
+                append((w, start, end, False, group))
+            append(("", end, end, True, -1))
         else:  # url / mention / punct break adjacency
-            stream.append(Token("", start, end, "break", -1))
+            append(("", start, end, True, -1))
     return stream
 
 
@@ -146,24 +148,26 @@ def extract_mentions(
     candidates: list[tuple[int, int, str]] = []  # (start, end, norm)
     n = len(stream)
     for i in range(n):
-        t0 = stream[i]
-        if t0.kind == "break" or not t0.norm:
+        norm0, start0, _end0, brk0, group0 = stream[i]
+        if brk0 or not norm0:
+            continue
+        if norm0 not in prefixes:  # cheap unigram gate before growing
             continue
         parts: list[str] = []
         j = i
         while j < n and len(parts) < max_tokens:
-            tj = stream[j]
-            if tj.kind == "break" or not tj.norm:
+            normj, _sj, endj, brkj, groupj = stream[j]
+            if brkj or not normj:
                 break
             # n-grams stay within one hashtag, or within plain words
-            if tj.group != t0.group:
+            if groupj != group0:
                 break
-            parts.append(tj.norm)
+            parts.append(normj)
             gram = " ".join(parts)
             if gram not in prefixes:
                 break
             if gram in full_names:
-                candidates.append((t0.start, tj.end, gram))
+                candidates.append((start0, endj, gram))
             j += 1
     # M2: longest-match-wins — reject any candidate overlapping an
     # already-accepted longer (or equal-length, earlier) one.

@@ -61,15 +61,24 @@ def extract_link(
     transcripts: DataFrame,
     model: GazetteerModel,
     salt_partitions: int | None = None,
+    persist_winners: bool = True,
 ) -> DataFrame:
     """transcripts → canonical linked mentions (conv_id, turn_idx,
-    start, end, surface, norm, geo_id, ...)."""
+    start, end, surface, norm, geo_id, ...).
+
+    ``winners`` feeds BOTH the canonical-vote aggregation and the final
+    rewrite join; without materialization Catalyst would recompute the
+    expensive extraction UDF stage twice, so the winner set (tiny
+    relative to input) is persisted — the batch analogue of the
+    checkpoint run_resumable writes to parquet."""
     t = transcripts
     if salt_partitions:
         t = salt_repartition(t, salt_partitions)
-    mentions = extract_mentions_df(t, model.bc_struct)
+    mentions = extract_mentions_df(t, model.bc_struct, prefilter=False)
     linked = link_mentions(mentions, model.variants)
     winners = score_candidates(linked)
+    if persist_winners:
+        winners = winners.persist()
     canon = canonicalize(winners)
     return apply_canonical(winners, canon)
 

@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # default 64m advisory lets AQE coalesce the (small) post-extraction
+    # shuffles into 1-2 partitions — a serial tail that wastes the rest
+    # of the cluster; 8m keeps mid-size stages parallel while still
+    # collapsing truly tiny ones
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -1,0 +1,95 @@
+"""Plan audit: print formatted physical plans for the engine's key
+operators and grep them for the properties we require at scale:
+
+  * L1 link join is a BroadcastHashJoin (no shuffle of the big side)
+  * parquet scans show PushedFilters / pruned ReadSchema
+  * built-in stages sit inside WholeStageCodegen spans
+  * exactly the expected shuffles (Exchange) per pipeline
+
+Usage: python tools/explain_audit.py [op ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+CHECKS = {
+    "flagship": dict(
+        want=["BroadcastHashJoin", "ArrowEvalPython|MapInPandas", "Exchange"],
+    ),
+    "scan_pushdown": dict(want=["PushedFilters: \\[IsNotNull", "ReadSchema: struct<doc_id:bigint,text:string>"]),
+    "link_join": dict(want=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
+    "agg": dict(want=["HashAggregate", "WholeStageCodegen"]),
+}
+
+
+def main() -> None:
+    from lnex_spark.data import fixtures as FX
+    from lnex_spark.data.derive import transcripts_from_documents
+    from lnex_spark.gazetteer.build import GAZETTEER_SCHEMA
+    from lnex_spark.pipeline import build_gazetteer, extract_link
+    from lnex_spark.operators.triples import mention_triples
+    from lnex_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    gaz = spark.createDataFrame(FX.gen_gazetteer("chennai"), GAZETTEER_SCHEMA)
+    stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
+    wl = spark.createDataFrame(FX.gen_wordlist(), "word string, freq long")
+    model = build_gazetteer(spark, gaz, stop, wl)
+
+    plans: dict[str, str] = {}
+
+    def grab(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    t = transcripts_from_documents(docs, "chennai")
+    plans["flagship"] = grab(mention_triples(extract_link(t, model, salt_partitions=4)))
+    plans["scan_pushdown"] = grab(
+        docs.select("doc_id", "text").filter(F.col("doc_id") % 2 == 0).filter(F.col("doc_id").isNotNull())
+    )
+    from lnex_spark.operators.link import link_mentions
+    from lnex_spark.operators.extract import extract_mentions_df
+
+    plans["link_join"] = grab(link_mentions(extract_mentions_df(t, model.bc_struct), model.variants))
+    plans["agg"] = grab(
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+
+    import re
+
+    only = set(sys.argv[1:])
+    bad = 0
+    for name, plan in plans.items():
+        if only and name not in only:
+            continue
+        print(f"\n{'=' * 70}\n## {name}\n{plan}")
+        checks = CHECKS.get(name, {})
+        for pat in checks.get("want", []):
+            ok = re.search(pat, plan) is not None
+            print(f"  want {pat}: {'OK' if ok else 'MISSING'}")
+            bad += 0 if ok else 1
+        for pat in checks.get("forbid", []):
+            hit = re.search(pat, plan) is not None
+            print(f"  forbid {pat}: {'VIOLATED' if hit else 'OK'}")
+            bad += 1 if hit else 0
+        n_ex = plan.count("Exchange")
+        print(f"  exchanges: {n_ex}")
+    print(f"\n{bad} plan-check failures")
+
+
+if __name__ == "__main__":
+    main()
