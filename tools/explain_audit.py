@@ -26,7 +26,10 @@ CHECKS = {
     ),
     "scan_pushdown": dict(want=["PushedFilters: \\[IsNotNull", "ReadSchema: struct<doc_id:bigint,text:string>"]),
     "link_join": dict(want=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
-    "agg": dict(want=["HashAggregate", "WholeStageCodegen"]),
+    # partial_sum before the Exchange = map-side combine (partial+final)
+    "agg": dict(want=["HashAggregate", r"partial_sum"]),
+    # explicit codegen-mode dump: the whole built-in chain must fuse
+    "codegen": dict(want=[r"Found 1 WholeStageCodegen subtrees|WholeStageCodegen \(1\)"]),
 }
 
 
@@ -45,6 +48,9 @@ def main() -> None:
     stop = spark.createDataFrame([(w,) for w in FX.gen_stopwords()], "word string")
     wl = spark.createDataFrame(FX.gen_wordlist(), "word string, freq long")
     model = build_gazetteer(spark, gaz, stop, wl)
+    # materialize the cached gazetteer so downstream plans show the
+    # runtime InMemoryTableScan instead of re-planning the whole build
+    model.variants.count()
 
     plans: dict[str, str] = {}
 
@@ -68,6 +74,16 @@ def main() -> None:
         .groupBy("l_returnflag")
         .agg(F.sum("l_quantity").alias("q"))
     )
+
+    def grab_codegen(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("codegen")
+        return buf.getvalue()
+
+    from lnex_spark.operators.textquality import quality_features
+
+    plans["codegen"] = grab_codegen(quality_features(docs))
 
     import re
 
