@@ -1,0 +1,541 @@
+"""Second oracle-registry module: SQL-verified checks for the
+imperative islands (the Arrow n-gram matcher and the full KG pipeline)
+plus relational coverage added after round 1's first pass (as-of join,
+sessionization, grouping sets, percentiles, range join, sketches) and
+SQL conversions of the md5-deterministic dedup ops.
+
+The matcher oracle (``m1_ngram_match_sql`` / ``kg_e2e_sql``) works by
+pinning a LITERAL gazetteer chosen so that DuckDB can re-derive the
+exact match set relationally:
+
+  * names are unigrams/bigrams/one trigram over the documents
+    vocabulary; no two multi-token names share a token, so candidate
+    spans can only overlap by containment (unigram inside a longer
+    match) — the greedy longest-match-wins of the matcher then equals
+    the relational "drop unigrams contained in any multi-token match",
+    which IS expressible in SQL;
+  * input text is restricted to documents (lowercase ASCII words);
+    punctuation breaks are *injected* deterministically on both sides
+    (" the " -> ", ") so the break semantics of the tokenizer are
+    actually exercised;
+  * hashtag segmentation / URLs / @mentions don't occur in this input
+    (they are covered by unit + property tests; the general matcher
+    stays rows-only as ``m1_ngram_match``).
+
+This makes the engine's single most important non-relational operator
+value-hash-checked against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lnex_spark.oracles import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ======================================================================
+# Literal gazetteer shared by the Spark and SQL sides of the matcher
+# oracle. (norm, geo_id, match_type, cat_priority); multi-candidate
+# norms exercise L2 scoring: 'spark' -> exact beats augmented,
+# 'customer' -> category priority decides, 'vector' -> geo_id tiebreak.
+# ======================================================================
+ORACLE_GAZ: list[tuple[str, int, int, int]] = [
+    ("spark", 1, 1, 3),
+    ("spark", 101, 0, 1),
+    ("customer", 2, 1, 5),
+    ("customer", 102, 1, 2),
+    ("vector", 3, 1, 4),
+    ("vector", 103, 1, 4),
+    ("table hash", 4, 1, 3),
+    ("customer join", 5, 1, 3),
+    ("slow key", 6, 1, 3),
+    ("spark window", 7, 1, 3),
+    ("big order group", 8, 1, 3),
+]
+
+_GAZ_VALUES = ",\n      ".join(
+    f"('{n}', {g}, {mt}, {cp})" for n, g, mt, cp in ORACLE_GAZ
+)
+
+# DuckDB token stream equivalent to textproc.tokenize_with_spans on
+# this input: words / numbers / single punct chars, in order; the
+# injected ',' occupies a list position so n-grams can't cross it.
+_SQL_TOKENIZE = r"""
+    t AS (
+      SELECT doc_id,
+             regexp_extract_all(
+               regexp_replace(lower(text), ' the ', ', ', 'g'),
+               '[a-z][a-z'']*|[0-9][a-z0-9_]*|[^ a-z0-9'']') AS tk
+      FROM documents
+    ),
+    p AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t),
+    gaz(norm, geo_id, match_type, cat_priority) AS (VALUES
+      __GAZ_VALUES__
+    ),
+    names AS (SELECT DISTINCT norm, len(string_split(norm, ' ')) AS ntok FROM gaz),
+    cand AS (
+      SELECT doc_id, i AS s, i AS e, tk[i] AS norm
+      FROM p WHERE tk[i] IN (SELECT norm FROM names WHERE ntok = 1)
+      UNION ALL
+      SELECT doc_id, i, i + 1, tk[i] || ' ' || tk[i+1]
+      FROM p WHERE i + 1 <= len(tk)
+        AND tk[i] || ' ' || tk[i+1] IN (SELECT norm FROM names WHERE ntok = 2)
+      UNION ALL
+      SELECT doc_id, i, i + 2, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      FROM p WHERE i + 2 <= len(tk)
+        AND tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] IN (SELECT norm FROM names WHERE ntok = 3)
+    ),
+    final AS (
+      SELECT doc_id, s, e, norm FROM cand WHERE e > s
+      UNION ALL
+      SELECT u.doc_id, u.s, u.e, u.norm FROM cand u
+      WHERE u.e = u.s AND NOT EXISTS (
+        SELECT 1 FROM cand m
+        WHERE m.doc_id = u.doc_id AND m.e > m.s AND m.s <= u.s AND u.s <= m.e)
+    )
+""".replace("__GAZ_VALUES__", _GAZ_VALUES)
+
+
+def _oracle_variants(spark: SparkSession) -> DataFrame:
+    rows = [
+        (n, g, mt, "poi", 13.0, 80.0, "chennai", cp) for n, g, mt, cp in ORACLE_GAZ
+    ]
+    return spark.createDataFrame(
+        rows,
+        "norm string, geo_id long, match_type int, category string, "
+        "lat double, lon double, region string, cat_priority int",
+    )
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one-turn transcripts with the same injected breaks
+    as the SQL side (' the ' -> ', ')."""
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.regexp_replace(F.lower(F.col("text")), " the ", ", ")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        text2.alias("text"),
+    )
+
+
+def _oracle_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL engine matcher (build_match_struct + the fused
+    mapInPandas extraction) over documents with the literal gazetteer."""
+    from lnex_spark.gazetteer.build import build_match_struct, build_unigram_lm
+    from lnex_spark.operators.extract import extract_mentions_df
+
+    variants = _oracle_variants(spark)
+    bc = build_match_struct(spark, variants, build_unigram_lm(variants, None))
+    return extract_mentions_df(_docs_as_transcripts(spark, sf_dir), bc)
+
+
+@register(
+    "m1_ngram_match_sql",
+    f"""
+    WITH {_SQL_TOKENIZE}
+    SELECT doc_id, norm, count(*) AS n_mentions
+    FROM final GROUP BY doc_id, norm
+    """,
+)
+def m1_ngram_match_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-up n-gram matcher, value-checked: per-doc per-name
+    mention counts must equal DuckDB's independent relational
+    re-derivation (module docstring explains why they're comparable)."""
+    m = _oracle_mentions(spark, sf_dir)
+    return m.groupBy(
+        F.col("conv_id").cast("long").alias("doc_id"), "norm"
+    ).agg(F.count("*").alias("n_mentions"))
+
+
+@register(
+    "kg_e2e_sql",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    linked AS (
+      SELECT f.doc_id, f.s, f.e, f.norm, g.geo_id, g.match_type, g.cat_priority
+      FROM final f JOIN gaz g USING (norm)
+    ),
+    winners AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id, s, e
+          ORDER BY match_type DESC, cat_priority ASC, geo_id ASC) AS rk
+        FROM linked) WHERE rk = 1
+    ),
+    votes AS (SELECT norm, geo_id, count(*) AS v FROM winners GROUP BY norm, geo_id),
+    canon AS (
+      SELECT norm, geo_id AS canonical FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY norm ORDER BY v DESC, geo_id ASC) AS rk
+        FROM votes) WHERE rk = 1
+    )
+    SELECT DISTINCT CAST(w.doc_id AS VARCHAR) || '#0' AS subj,
+           'mentionsLocation' AS pred, CAST(c.canonical AS VARCHAR) AS obj
+    FROM winners w JOIN canon c ON w.norm = c.norm
+    UNION ALL
+    SELECT DISTINCT CAST(geo_id AS VARCHAR) AS subj,
+           'locatedIn' AS pred, 'chennai' AS obj
+    FROM gaz
+    """,
+)
+def kg_e2e_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL KG pipeline (M1 -> L1 -> L2 -> L3 -> K1, mention +
+    region triples), value-checked end-to-end against DuckDB."""
+    from lnex_spark.operators.link import (
+        apply_canonical,
+        canonicalize,
+        link_mentions,
+        score_candidates,
+    )
+    from lnex_spark.operators.triples import mention_triples, region_triples
+
+    variants = _oracle_variants(spark)
+    mentions = _oracle_mentions(spark, sf_dir)
+    winners = score_candidates(link_mentions(mentions, variants))
+    final = apply_canonical(winners, canonicalize(winners))
+    mt = mention_triples(final).select(
+        "subj", "pred", F.col("obj").cast("string").alias("obj")
+    )
+    rt = region_triples(variants).select(
+        F.col("subj").cast("string").alias("subj"), "pred", "obj"
+    )
+    return mt.unionByName(rt)
+
+
+# ======================================================================
+# SQL conversions of the md5-deterministic dedup ops (previously
+# rows-only): LSH banding and SimHash are both reproducible in DuckDB.
+# ======================================================================
+
+
+@register(
+    "dedup_lsh_pairs_sql",
+    r"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM uni
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+    sigs AS (
+      SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, (SELECT unnest(range(0, 8)) AS h)
+      GROUP BY doc_id, h
+    ),
+    banded AS (
+      SELECT doc_id, h % 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+      FROM sigs GROUP BY doc_id, h % 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding, value-checked: the engine's band keys are
+    md5-over-sorted-minhashes, reproducible in SQL (dedup.py design)."""
+    from lnex_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    sigs = minhash_signatures(d.unionByName(dup), k=8, n=3)
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+@register(
+    "dedup_simhash_sql",
+    r"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+      FROM uni
+    ),
+    hv AS (
+      SELECT doc_id, tok,
+             CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM hv, (SELECT unnest(range(0, 64)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig_u AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS HUGEINT) AS u
+      FROM bits GROUP BY doc_id
+    ),
+    sig AS (  -- two's-complement into int64, like the engine's numpy path
+      SELECT doc_id, CAST(u AS UBIGINT) AS u,
+             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+      FROM sig_u
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (u >> (band * 16)) & 65535 AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, value-checked: md5-derived 64-bit token
+    hashes + majority vote + banded Hamming join, re-derived in SQL.
+    NOTE the split semantics: str.split() on single spaces with empty
+    tokens removed, mirrored by list_filter(string_split(...))."""
+    from lnex_spark.operators.dedup import simhash_near_dups, simhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 200)
+    dup = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sigs = simhash_signatures(d.unionByName(dup))
+    return simhash_near_dups(sigs, max_hamming=3).select(
+        F.col("doc_a"), F.col("doc_b"), F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "embedding_near_dups_exact",
+    """
+    WITH uni AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+      FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+    ),
+    flat AS (
+      SELECT vec_a, vec_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs
+    ),
+    dots AS (
+      SELECT vec_a, vec_b,
+             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx,
+             sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS ny
+      FROM flat GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, round(dot / (nx * ny), 6) AS cosine
+    FROM dots WHERE round(dot / (nx * ny), 6) >= 0.95
+    """,
+)
+def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-LSH) embedding near-dup pairs on a bounded subset —
+    the correctness baseline the LSH path approximates."""
+    from lnex_spark.operators.similarity import _as_double, _cosine
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+    dup = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    uni = e.unionByName(dup).select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    a, b = uni.alias("a"), uni.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(_cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.95)
+
+
+# ======================================================================
+# Relational coverage: as-of join, sessionization, grouping sets,
+# percentiles, range join, sketch sanity
+# ======================================================================
+
+
+@register(
+    "asof_join_clicks_errors",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    errors_d AS (
+      SELECT user_id, ts, max(event_id) AS err_event_id, max_by(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           e.err_event_id AS asof_err_event_id,
+           round(e.err_value, 4) AS asof_err_value
+    FROM clicks c ASOF LEFT JOIN errors_d e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def asof_join_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: for each click, the user's most recent
+    error at or before it. Spark side = union+window (operators.asof);
+    oracle = DuckDB's native ASOF JOIN."""
+    from lnex_spark.operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_event_id"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    out = asof_join_backward(clicks, errors, on=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_err_event_id"),
+        F.round("asof_err_value", 4).alias("asof_err_value"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session rollup."""
+    from lnex_spark.operators.sessions import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_seconds=1800))
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT coalesce(l_returnflag, '∅') AS l_returnflag,
+           coalesce(l_linestatus, '∅') AS l_linestatus,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, '∅') AS l_returnflag,
+               coalesce(l_linestatus, '∅') AS l_linestatus,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "range_join_bins",
+    """
+    WITH bins(bin_name, lo, hi) AS (VALUES
+      ('tiny', 0.0, 10.0), ('small', 10.0, 25.0), ('large', 25.0, 100.0))
+    SELECT bin_name, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN bins ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY bin_name
+    """,
+)
+def range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny broadcast bin table — the
+    broadcast-nested-loop form that stays cheap because the build side
+    is constant-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    bins = li.sparkSession.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("large", 25.0, 100.0)],
+        "bin_name string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bins),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("bin_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "approx_distinct_sanity",
+    """
+    SELECT count(DISTINCT user_id) AS n_exact, true AS approx_within_5pct
+    FROM events
+    """,
+)
+def approx_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch sanity: approx_count_distinct must land within 5% of
+    exact (the sketch itself can't hash-match another engine, so the
+    checked value is the tolerance predicate + the exact count)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_within_5pct"),
+    )
