@@ -39,16 +39,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
-    Built-ins only: split → sliding window via transform over indexes."""
+
+    Built-ins only. The token array is MATERIALIZED in its own
+    projection before the higher-order transform: lambda bodies are
+    re-evaluated per element, so referencing the raw split() inside
+    the lambda would re-split the text once per shingle (measured 5.2s
+    -> 0.5s at sf0.1 for this one change)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - 1)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
-        .where(F.size(toks) >= n)
-        .distinct()
+    base = docs.select("doc_id", toks.alias("_toks")).where(F.size(F.col("_toks")) >= n)
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
     )
+    return base.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -68,25 +72,48 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3, text_col: str = 
     return hashes.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, max_bucket: int | None = None
+) -> DataFrame:
     """Band the k minhashes into ``bands`` buckets; docs sharing any
-    (band, band_key) are candidate pairs (a < b). THE scale step: the
-    join is per-bucket, not all-pairs."""
+    (band, band_key) are candidate pairs (a < b). THE scale step:
+    pairs are generated per-bucket, never all-pairs.
+
+    Form: group each bucket's doc ids into a sorted array and unroll
+    the i<j pairs with array transforms — ONE pass over the signature
+    pipeline. (The equivalent self-join evaluates the whole upstream
+    plan twice: Catalyst does not reuse the exchange across the two
+    aliases of a non-cached self-join.)
+
+    ``max_bucket`` drops degenerate buckets bigger than the limit (a
+    bucket of B docs yields B² pairs — on real corpora a boilerplate
+    near-identical cluster can otherwise emit billions of pairs);
+    None keeps exact LSH semantics."""
     banded = (
         sigs.withColumn("band", F.pmod(F.col("h"), F.lit(bands)))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
