@@ -111,6 +111,69 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties →
+    smaller centroid id). centroids(cell_id, embedding) is broadcast —
+    the IVF coarse quantizer is always tiny relative to the corpus."""
+    e = embeddings.select(id_col, _as_double(F.col("embedding")).alias("emb"))
+    c = centroids.select("cell_id", _as_double(F.col("embedding")).alias("cemb"))
+    scored = e.crossJoin(F.broadcast(c)).select(
+        id_col, "emb", "cell_id", F.round(_cosine(F.col("emb"), F.col("cemb")), 6).alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cell_id", "emb")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic coarse centroids
+    (the first ``n_cells`` vectors by id — swap in k-means output on a
+    real corpus; the partition/probe plumbing is identical), vectors
+    bucketed by nearest centroid, each query probed against its
+    ``nprobe`` nearest cells only, exact cosine re-rank inside.
+
+    Scale shape: the candidate join is an equi-join on cell_id —
+    corpus-sized side shuffles ONCE by cell, queries broadcast; no
+    all-pairs stage anywhere. Recall grows with nprobe."""
+    centroids = (
+        embeddings.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), "embedding")
+    )
+    assigned = ivf_assign(embeddings, centroids)  # (vec_id, cell_id, emb)
+
+    q = queries.select("query_id", _as_double(F.col("embedding")).alias("qemb"))
+    c = centroids.select("cell_id", _as_double(F.col("embedding")).alias("cemb"))
+    qcells = q.crossJoin(F.broadcast(c)).select(
+        "query_id", "qemb", "cell_id", F.round(_cosine(F.col("qemb"), F.col("cemb")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    probes = (
+        qcells.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qemb", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc-level dedup by
     semantic similarity): LSH-bucket self-join + exact cosine filter."""

@@ -208,6 +208,28 @@ def kg_e2e_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mt.unionByName(rt)
 
 
+@register(
+    "first_mention_flags",
+    f"""
+    WITH {_SQL_TOKENIZE}
+    SELECT doc_id, norm,
+           (row_number() OVER (PARTITION BY doc_id, norm ORDER BY s ASC) = 1) AS is_first
+    FROM final
+    """,
+)
+def first_mention_flags_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stateful first-mention operator
+    (streaming/stateful.py), value-checked on the literal-gazetteer
+    mention set. Char-offset order equals token-position order, so the
+    rank-1 flag matches the SQL side exactly."""
+    from lnex_spark.streaming.stateful import first_mention_flags
+
+    m = _oracle_mentions(spark, sf_dir)
+    return first_mention_flags(m).select(
+        F.col("conv_id").cast("long").alias("doc_id"), "norm", "is_first"
+    )
+
+
 # ======================================================================
 # SQL conversions of the md5-deterministic dedup ops (previously
 # rows-only): LSH banding and SimHash are both reproducible in DuckDB.
@@ -373,6 +395,73 @@ def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage: as-of join, sessionization, grouping sets,
 # percentiles, range join, sketch sanity
 # ======================================================================
+
+
+@register(
+    "ann_cosine_ivf",
+    """
+    WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS cell_id, embedding AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    flat_vc AS (
+      SELECT vec_id, cell_id, unnest(embedding) AS x, unnest(cemb) AS y
+      FROM embeddings, cents
+    ),
+    cos_vc AS (
+      SELECT vec_id, cell_id,
+             round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                    * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS csim
+      FROM flat_vc GROUP BY vec_id, cell_id
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS rk
+        FROM cos_vc) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS rk
+        FROM cos_vc WHERE vec_id < 5) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+      WHERE a.vec_id != p.query_id
+    ),
+    flat_qv AS (
+      SELECT c.query_id, c.vec_id, unnest(eq.embedding) AS x, unnest(ev.embedding) AS y
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings ev ON ev.vec_id = c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                    * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cosine
+      FROM flat_qv GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k, value-checked: deterministic
+    centroids make the whole assign→probe→re-rank path reproducible
+    in SQL."""
+    from lnex_spark.operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_ivf(e, q, n_cells=8, nprobe=2, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 @register(
