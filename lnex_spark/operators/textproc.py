@@ -105,20 +105,26 @@ def build_token_stream(
     hashtag reports the hashtag's span, per the reference's behavior of
     annotating the hashtag itself).
     """
+    # fused tokenize+classify loop (not tokenize_with_spans + re-scan):
+    # the per-token Match-method overhead is the single hottest part of
+    # the whole extraction stage, so spans come from one span() call
+    # and the intermediate (raw, start, end, kind) list is skipped
     stream: list[tuple[str, int, int, bool, int]] = []
     append = stream.append
     group = 0
-    for raw, start, end, kind in tokenize_with_spans(text):
+    for m in _TOKEN_RE.finditer(text):
+        kind = m.lastgroup
+        start, end = m.span()
         if kind == "word":
-            low = raw.lower()
+            low = m.group(0).lower()
             if low in _SKIP_WORDS:
                 append(("", start, end, True, -1))
             else:
                 append((low, start, end, False, -1))
         elif kind == "num":
-            append((raw.lower(), start, end, False, -1))
+            append((m.group(0).lower(), start, end, False, -1))
         elif kind == "hashtag":
-            body = raw[1:].lower()
+            body = m.group(0)[1:].lower()
             words = segmenter.segment(body) if segmenter else [body]
             group += 1
             for w in words:
