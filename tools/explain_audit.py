@@ -30,6 +30,14 @@ CHECKS = {
     "agg": dict(want=["HashAggregate", r"partial_sum"]),
     # explicit codegen-mode dump: the whole built-in chain must fuse
     "codegen": dict(want=[r"Found 1 WholeStageCodegen subtrees|WholeStageCodegen \(1\)"]),
+    # as-of join must be the union+window form: one keyed Exchange,
+    # NO join operator of any kind in the plan
+    "asof": dict(want=["Window"], forbid=["Join", "CartesianProduct"]),
+    # both sessionize windows must share one shuffle (same keying)
+    "sessionize": dict(want=["Window"]),
+    # IVF: centroid side broadcast; candidate join is broadcast too
+    # (probes are tiny); no SortMergeJoin anywhere
+    "ivf": dict(want=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
 }
 
 
@@ -84,6 +92,21 @@ def main() -> None:
     from lnex_spark.operators.textquality import quality_features
 
     plans["codegen"] = grab_codegen(quality_features(docs))
+
+    from lnex_spark.operators.asof import asof_join_backward
+    from lnex_spark.operators.sessions import session_stats, sessionize
+    from lnex_spark.operators.similarity import cosine_topk_ivf
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    plans["asof"] = grab(asof_join_backward(clicks, errors, on=["user_id"]))
+    plans["sessionize"] = grab(session_stats(sessionize(ev)))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    plans["ivf"] = grab(cosine_topk_ivf(emb, q))
 
     import re
 
