@@ -197,10 +197,33 @@ class MatchStruct:
         self.max_tokens = max_tokens
 
 
-def build_match_struct(spark: SparkSession, variants: DataFrame, unigram: DataFrame):
+def build_match_struct(
+    spark: SparkSession,
+    variants: DataFrame,
+    unigram: DataFrame,
+    max_names: int = 5_000_000,
+):
     """Collect the (small, region-scoped) variant names + LM and
-    broadcast the matching structure."""
-    names = [r[0] for r in variants.select("norm").distinct().collect()]
+    broadcast the matching structure.
+
+    ``max_names`` is a driver-OOM guard: the struct is meant for a
+    REGION-SCOPED gazetteer (city ≈ 10^4-10^5 names ≈ a few MB
+    broadcast). 5M names ≈ ~0.5 GB driver-side — past that the caller
+    forgot the bbox scope (G1) or genuinely needs the documented
+    sharded fallback (shard the gazetteer by token prefix, run one
+    extraction pass per shard, union mentions — same results because
+    matches are independent per name). The limit bounds the collect
+    itself, so the guard cannot OOM while checking."""
+    names = [
+        r[0]
+        for r in variants.select("norm").distinct().limit(max_names + 1).collect()
+    ]
+    if len(names) > max_names:
+        raise ValueError(
+            f"match structure would exceed {max_names} names; scope the "
+            "gazetteer with a bounding box (scan_gazetteer bbox) or shard "
+            "by token prefix and union per-shard mentions"
+        )
     full_names = frozenset(names)
     prefixes = set()
     max_tokens = 1

@@ -20,10 +20,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def link_mentions(mentions: DataFrame, variants: DataFrame) -> DataFrame:
-    """L1: surface form → candidate geo entities (broadcast hash join)."""
+def link_mentions(
+    mentions: DataFrame, variants: DataFrame, hint_broadcast: bool = True
+) -> DataFrame:
+    """L1: surface form → candidate geo entities (broadcast hash join).
+
+    ``hint_broadcast=False`` drops the hint for the planet-scale case
+    where the gazetteer exceeds broadcast limits — Catalyst then picks
+    sort-merge, and results are identical (plan-invariance is tested in
+    tests/test_scale_fallbacks.py)."""
     gaz = variants.select("norm", "geo_id", "match_type", "cat_priority", "category", "region")
-    return mentions.join(F.broadcast(gaz), on="norm", how="inner")
+    if hint_broadcast:
+        gaz = F.broadcast(gaz)
+    return mentions.join(gaz, on="norm", how="inner")
 
 
 def score_candidates(linked: DataFrame) -> DataFrame:

@@ -398,6 +398,130 @@ def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t3_hashtag_segment_sql",
+    r"""
+    WITH lm AS (
+      SELECT tok AS w, count(*) AS c
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents)
+      WHERE len(tok) > 0 GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS t FROM lm),
+    tags AS (
+      SELECT doc_id,
+             list_extract(string_split_regex(lower(trim(text)), '\s+'), 1)
+          || list_extract(string_split_regex(lower(trim(text)), '\s+'), 2) AS body
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+    ),
+    splits AS (
+      SELECT doc_id, body, i,
+             substr(body, 1, CAST(i AS INT)) AS head,
+             substr(body, CAST(i AS INT) + 1) AS tail
+      FROM (SELECT doc_id, body, unnest(range(1, len(body))) AS i FROM tags)
+    ),
+    cand AS (
+      SELECT g.doc_id, g.body, 0 AS i, g.body AS seg,
+             CASE WHEN w0.c IS NOT NULL THEN w0.c * 1.0 / t
+                  ELSE 10.0 / (t * power(10, len(g.body))) END AS score
+      FROM tags g CROSS JOIN tot LEFT JOIN lm w0 ON w0.w = g.body
+      UNION ALL
+      SELECT s.doc_id, s.body, CAST(s.i AS INT) AS i, s.head || ' ' || s.tail AS seg,
+             (CASE WHEN h.c IS NOT NULL THEN h.c * 1.0 / t
+                   ELSE 10.0 / (t * power(10, len(s.head))) END)
+           * (CASE WHEN tl.c IS NOT NULL THEN tl.c * 1.0 / t
+                   ELSE 10.0 / (t * power(10, len(s.tail))) END) AS score
+      FROM splits s CROSS JOIN tot
+      LEFT JOIN lm h  ON h.w  = s.head
+      LEFT JOIN lm tl ON tl.w = s.tail
+    )
+    SELECT doc_id, '#' || body AS hashtag, seg AS segmented FROM (
+      SELECT doc_id, body, seg,
+             row_number() OVER (PARTITION BY doc_id, body
+                                ORDER BY score DESC, i ASC) AS rk
+      FROM cand) WHERE rk = 1
+    """,
+)
+def t3_hashtag_segment_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashtag segmentation value-checked against a restricted SQL
+    argmax. Soundness of the restriction: hashtags here are two
+    corpus-vocabulary words concatenated, every vocabulary word has
+    LM count >= 26 of ~28k total, so the correct 2-split scores
+    >= (26/T)^2 ~ 8.6e-7 while every split containing an unknown
+    fragment is penalized by 10/(T*10^len) factors (< 4e-9 after the
+    best possible recursive rescue of the tail) — the full Viterbi's
+    argmax therefore always IS the best whole-or-2-split candidate,
+    which SQL can enumerate. Tie-break matches the DP: whole word
+    first (strict > replaces), then smallest split point."""
+    import pandas as pd
+
+    from lnex_spark.operators.textproc import HashtagSegmenter
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+    )
+    freq = {r[0]: int(r[1]) for r in toks.collect()}
+    bc = spark.sparkContext.broadcast(freq)
+    arr = F.split(F.lower(F.trim("text")), r"\s+")
+    tags = d.filter(F.size(arr) >= 2).select(
+        "doc_id",
+        F.concat(F.lit("#"), F.element_at(arr, 1), F.element_at(arr, 2)).alias("hashtag"),
+    )
+
+    def _seg(s):
+        sg = HashtagSegmenter(bc.value)
+        return s.map(lambda h: " ".join(sg.segment(h[1:])))
+
+    seg = F.pandas_udf(_seg, "string")
+    return tags.select("doc_id", "hashtag", seg(F.col("hashtag")).alias("segmented"))
+
+
+@register(
+    "compat_extract_sets",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    linked AS (
+      SELECT f.doc_id, f.s, f.e, f.norm, g.geo_id
+      FROM final f JOIN gaz g USING (norm)
+    ),
+    spans AS (
+      SELECT doc_id, s, min(norm) AS norm,
+             list_sort(list(DISTINCT geo_id)) AS geo_ids
+      FROM linked GROUP BY doc_id, s, e
+    )
+    SELECT doc_id, norm, geo_ids,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s ASC) AS span_rank
+    FROM spans
+    """,
+)
+def compat_extract_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compat-API extract contract (full candidate sets per span,
+    reference return shape) value-checked on the literal gazetteer.
+    Span keys are token positions on the SQL side vs char offsets on
+    the Spark side, so the checked columns are the per-span candidate
+    payload aggregated per doc — same multiset ⟺ same spans."""
+    from lnex_spark import compat
+    from lnex_spark.gazetteer.build import build_match_struct, build_unigram_lm
+    from lnex_spark.pipeline import GazetteerModel
+
+    variants = _oracle_variants(spark)
+    bc = build_match_struct(spark, variants, build_unigram_lm(variants, None))
+    model = GazetteerModel(variants=variants, unigram=None, bc_struct=bc)
+    out = compat.extract(model, _docs_as_transcripts(spark, sf_dir))
+    # rank spans per doc by char start to align with token-position rank
+    w = Window.partitionBy("conv_id").orderBy(F.col("start").asc())
+    return out.withColumn("_rk", F.row_number().over(w)).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.element_at(F.col("candidate_names"), 1).alias("norm"),
+        F.col("geo_ids"),
+        F.col("_rk").alias("span_rank"),
+    )
+
+
+@register(
     "ann_cosine_ivf",
     """
     WITH cents AS (
