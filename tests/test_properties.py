@@ -70,3 +70,56 @@ def test_extract_offsets_and_overlap_invariants(text):
     spans.sort()
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert e1 <= s2
+
+
+# single-token words only: "x7" would tokenize as word "x" + num "7"
+VOCAB = "adyar river guindy lake park salai anna marina the a big 42".split()
+
+
+@given(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12),
+    st.sets(
+        st.tuples(st.sampled_from(VOCAB), st.sampled_from(VOCAB + [""])),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_matcher_equals_bruteforce(tokens, name_pairs):
+    """Differential test: the prefix-pruned bottom-up matcher must
+    equal a naive enumerate-every-n-gram + greedy longest-wins
+    reference on random texts and random gazetteers."""
+    from lnex_spark.operators.textproc import extract_mentions
+
+    names = {(f"{a} {b}".strip() if b else a) for a, b in name_pairs}
+    prefixes = set()
+    mx = 1
+    for n in names:
+        t = n.split(" ")
+        mx = max(mx, len(t))
+        for i in range(1, len(t) + 1):
+            prefixes.add(" ".join(t[:i]))
+
+    text = " ".join(tokens)
+    # brute force over every n-gram with exact char spans
+    starts = []
+    pos = 0
+    for t in tokens:
+        starts.append(pos)
+        pos += len(t) + 1
+    cands = []
+    for i in range(len(tokens)):
+        for j in range(i, min(i + mx, len(tokens))):
+            gram = " ".join(tokens[i : j + 1])
+            if gram in names:
+                cands.append((starts[i], starts[j] + len(tokens[j]), gram))
+    cands.sort(key=lambda c: (-(c[1] - c[0]), c[0], c[2]))
+    accepted = []
+    for s, e, g in cands:
+        if all(e <= as_ or s >= ae for as_, ae, _ in accepted):
+            accepted.append((s, e, g))
+    accepted.sort()
+    want = [(s, e, text[s:e], g) for s, e, g in accepted]
+
+    got = extract_mentions(text, frozenset(names), frozenset(prefixes), mx, None)
+    assert got == want
