@@ -140,6 +140,26 @@ def main() -> None:
         ),
     )
 
+    from lnex_spark.operators.asof import asof_join_backward
+    from lnex_spark.operators.sessions import session_stats, sessionize
+    from lnex_spark.operators.similarity import cosine_topk_ivf
+
+    # sessionize the replicated transcripts (the skewed stream itself)
+    run(
+        "sessionize",
+        lambda: session_stats(
+            sessionize(transcripts, key="conv_id", order_tiebreak="turn_idx", gap_seconds=600),
+            key="conv_id",
+        ).count(),
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    ).groupBy("user_id", "ts").agg(F.max("err_id").alias("err_id"))
+    run("asof_join", lambda: asof_join_backward(clicks, errors, on=["user_id"]).count())
+    run("ann_ivf", lambda: cosine_topk_ivf(emb, q, n_cells=16, nprobe=2, k=10).count())
+
     total = round(sum(timings.values()), 3)
     spark.catalog.clearCache()
     print(
