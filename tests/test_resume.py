@@ -67,3 +67,34 @@ def test_manifest_metrics_present(spark, fixture_data, model, tmp_path):
     m = spark.read.parquet(manifest)
     assert set(m.columns) == {"bucket", "n_turns", "n_mentions", "n_triples", "wall_ms", "batch_id"}
     assert m.count() == 4
+
+
+def test_triple_write_partitioned_and_pruned(spark, tmp_path):
+    """K2: region triples written partitioned by region; reading one
+    region back hits the partition filter (pruned scan), and the
+    overwrite is idempotent."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from lnex_spark.operators.triples import region_triples, write_triples
+
+    gaz = spark.createDataFrame(
+        [(1, "a", "chennai"), (2, "b", "chennai"), (3, "c", "houston")],
+        "geo_id long, name string, region string",
+    )
+    out = str(tmp_path / "region_triples")
+    rt = region_triples(gaz)
+    write_triples(rt, out, partition_cols=["obj"])
+    write_triples(rt, out, partition_cols=["obj"])  # idempotent overwrite
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    one = back.filter(F.col("obj") == "chennai")
+    assert one.count() == 2
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert "chennai" in buf.getvalue()
