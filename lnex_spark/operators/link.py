@@ -16,7 +16,7 @@ the scoring/canonicalization layer is the KG mandate on top (SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -36,26 +36,43 @@ def link_mentions(
 
 
 def score_candidates(linked: DataFrame) -> DataFrame:
-    """L2: keep the best candidate per mention span, deterministically."""
-    w = Window.partitionBy("conv_id", "turn_idx", "start", "end").orderBy(
-        F.col("match_type").desc(), F.col("cat_priority").asc(), F.col("geo_id").asc()
+    """L2: keep the best candidate per mention span, deterministically
+    — order (match_type desc, cat_priority asc, geo_id asc).
+
+    Top-1-per-group is an AGGREGATION (min_by over a sort-key struct),
+    not a ranking window, on purpose: windows get no map-side partial
+    aggregation, so a window would shuffle every candidate row; the
+    agg form combines candidates within each map partition and
+    shuffles ~one row per mention — at 10^12 turns that is the
+    difference between shuffling all L1 output and shuffling the
+    mention set. The key struct is unique per candidate (geo_id), so
+    the result is deterministic and identical to the window form
+    (asserted by the kg_e2e_sql / flagship oracles)."""
+    cols = linked.columns
+    sort_key = F.struct(
+        (-F.col("match_type")).alias("mt"),
+        F.col("cat_priority").alias("cp"),
+        F.col("geo_id").alias("g"),
     )
-    return (
-        linked.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+    picked = linked.groupBy("conv_id", "turn_idx", "start", "end").agg(
+        F.min_by(F.struct(*[F.col(c) for c in cols]), sort_key).alias("_best")
     )
+    return picked.select(*[F.col(f"_best.{c}").alias(c) for c in cols])
 
 
 def canonicalize(winners: DataFrame) -> DataFrame:
     """L3: one geo entity per normalized surface form, corpus-wide
-    majority vote over L2 winners (ties → smaller geo_id)."""
+    majority vote over L2 winners (ties → smaller geo_id).
+
+    Two hash aggregations, both partial+final (same agg-over-window
+    rationale as score_candidates): vote counting keyed by
+    (norm, geo_id), then max_by over (votes, -geo_id) keyed by norm —
+    highest vote count, smallest geo_id on ties."""
     votes = winners.groupBy("norm", "geo_id").agg(F.count("*").alias("votes"))
-    w = Window.partitionBy("norm").orderBy(F.col("votes").desc(), F.col("geo_id").asc())
-    return (
-        votes.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("norm", F.col("geo_id").alias("canonical_geo_id"))
+    return votes.groupBy("norm").agg(
+        F.max_by(
+            "geo_id", F.struct(F.col("votes").alias("v"), (-F.col("geo_id")).alias("g"))
+        ).alias("canonical_geo_id")
     )
 
 
