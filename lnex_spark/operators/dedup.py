@@ -47,12 +47,22 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     -> 0.5s at sf0.1 for this one change)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = docs.select("doc_id", toks.alias("_toks")).where(F.size(F.col("_toks")) >= n)
-    t = F.col("_toks")
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    grams = F.transform(
+    return base.select("doc_id", F.explode(_grams(F.col("_toks"), n)).alias("shingle")).distinct()
+
+
+def _grams(t, n: int):
+    """Word n-gram array over a token-array column. TOTAL expression:
+    Catalyst does not guarantee a .where() is evaluated before the
+    select that follows it, so the short-row case must yield an empty
+    array instead of an out-of-bounds element_at (this bit in prod:
+    sequence(0, size-n) on a 1-token row produces a DESCENDING
+    sequence [0,-1] and the gram lambda then indexes past the array)."""
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
     )
-    return base.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -124,37 +134,64 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-dup pairs.
 
     With ``candidates`` (from LSH) verifies only those pairs — the
-    scale path. Without, generates pairs from shared shingles (safe on
-    small/sampled inputs; the shared-shingle join IS the blocking)."""
-    sh = shingles(docs, n, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    scale path. Without, pairs come from shared shingles: each
+    shingle's (doc_id, n_sh) postings are grouped into an array and
+    the i<j pairs unrolled — ONE pass over the shingle pipeline
+    (a naive self-join evaluates it twice and still needs a third
+    pass for sizes; n_sh rides along from the pre-explode array size
+    instead).
+
+    ``max_doc_freq`` drops shingles occurring in more than that many
+    docs ("stop shingles" — boilerplate n-grams whose postings create
+    quadratic pair blowups; a B-doc shingle yields B² candidate pairs).
+    None keeps exact semantics; with a cap, pairs whose ONLY shared
+    shingles are boilerplate are missed — the standard trade."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", toks.alias("_toks")).where(F.size(F.col("_toks")) >= n)
+    sh = base.select(
+        "doc_id", F.array_distinct(_grams(F.col("_toks"), n)).alias("_g")
+    ).select("doc_id", F.size("_g").alias("n_sh"), F.explode("_g").alias("shingle"))
+
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ps")
+    ).filter(F.size("ps") > 1)
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ps") <= max_doc_freq)
+    ps = F.col("ps")
+    pairs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
     if candidates is not None:
         common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return common.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
