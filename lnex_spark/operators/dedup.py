@@ -230,7 +230,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dups by SimHash Hamming distance. Blocking on 16-bit bands
     (a pair within distance 3 shares at least one of 4 bands exact) —
-    same LSH trick, built-ins only: xor + bit_count."""
+    same LSH trick, built-ins only: xor + bit_count.
+
+    Bucket-array pair unrolling (not a self-join): the signature stage
+    is a pandas UDF, and a self-join would run it twice — see
+    lsh_candidate_pairs for the pattern rationale."""
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -246,19 +250,28 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    ps = F.col("ps")
+    pairs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -176,18 +176,38 @@ def cosine_topk_ivf(
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc-level dedup by
-    semantic similarity): LSH-bucket self-join + exact cosine filter."""
+    semantic similarity): LSH-bucketed candidates + exact cosine
+    filter. Bucket-array pair unrolling, not a self-join — a self-join
+    would run the numpy signature UDF twice over the corpus (see
+    dedup.lsh_candidate_pairs). Buckets carry the vectors; with
+    n_planes=12 the expected bucket is corpus/4096, so the per-bucket
+    arrays stay small at scale (and a degenerate bucket is the same
+    hazard either way)."""
     dim = len(embeddings.select("embedding").first()[0])
     sigs = lsh_signatures(embeddings, dim).select(
         "vec_id", "lsh_sig", _as_double(F.col("embedding")).alias("emb")
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lsh_sig") == F.col("b.lsh_sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(_cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cosine"),
+    buckets = (
+        sigs.groupBy("lsh_sig")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "emb"))).alias("ps"))
+        .filter(F.size("ps") > 1)
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    ps = F.col("ps")
+    pairs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps) - i - 1),
+                lambda y: F.struct(
+                    x["vec_id"].alias("vec_a"),
+                    y["vec_id"].alias("vec_b"),
+                    F.round(_cosine(x["emb"], y["emb"]), 6).alias("cosine"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
+        .filter(F.col("cosine") >= threshold)
+    )
