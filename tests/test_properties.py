@@ -123,3 +123,59 @@ def test_matcher_equals_bruteforce(tokens, name_pairs):
 
     got = extract_mentions(text, frozenset(names), frozenset(prefixes), mx, None)
     assert got == want
+
+
+@given(
+    st.text(alphabet="abcde", min_size=1, max_size=10),
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=1000),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_segmenter_equals_exhaustive_dp(s, freq):
+    """The memoized Viterbi must equal brute-force enumeration of ALL
+    segmentations (first-maximal tie-break mirrors the DP's strict->
+    earliest-split-wins recursion)."""
+    from lnex_spark.operators.textproc import HashtagSegmenter
+
+    sg = HashtagSegmenter(freq)
+
+    def all_segs(x):
+        if not x:
+            return [()]
+        out = [(x,)]
+        for i in range(1, min(len(x), sg.max_word_len)):
+            for tail in all_segs(x[i:]):
+                out.append((x[:i],) + tail)
+        return out
+
+    def score(seg):
+        p = 1.0
+        for w in seg:
+            p *= sg._score(w)
+        return p
+
+    # replicate the DP's tie-break exactly: atomic-first, then splits
+    # in increasing first-cut order, strict > replaces
+    def brute(x):
+        if not x:
+            return ((), 1.0)
+        best = ((x,), sg._score(x))
+        for i in range(1, min(len(x), sg.max_word_len)):
+            tail, ts = brute(x[i:])
+            cand = ((x[:i],) + tail, sg._score(x[:i]) * ts)
+            if cand[1] > best[1]:
+                best = cand
+        return best
+
+    got = sg.segment(s)
+    want = list(brute(s.lower())[0])
+    assert got == want
+    # and the winner's score really is the max over every segmentation
+    # (independent enumeration; relative tolerance — products of tiny
+    # floats associate differently between the two evaluations)
+    best_any = max(score(g) for g in all_segs(s.lower()))
+    assert score(tuple(got)) >= best_any * (1 - 1e-9)

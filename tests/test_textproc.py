@@ -124,3 +124,39 @@ def test_urls_and_mentions_ignored():
     text = "@guindy https://guindy.example Guindy"
     got = extract_mentions(text, full, pref, mx, None)
     assert len(got) == 1 and got[0][2] == "Guindy"
+
+
+def test_extract_df_adversarial_rows(spark, fixture_data):
+    """The extraction stage must tolerate null / empty / unicode /
+    whitespace-only text rows, with and without the batch gate."""
+    from lnex_spark.gazetteer.build import (
+        build_match_struct,
+        build_name_variants,
+        build_unigram_lm,
+    )
+    from lnex_spark.operators.extract import extract_mentions_df
+    from tests.conftest import to_spark_gaz, to_spark_stopwords, to_spark_wordlist
+
+    variants = build_name_variants(
+        to_spark_gaz(spark, fixture_data["gaz"]),
+        to_spark_stopwords(spark, fixture_data["stopwords"]),
+    )
+    bc = build_match_struct(spark, variants, build_unigram_lm(variants, None))
+    name = sorted(bc.value.full_names)[0]
+    rows = [
+        ("c1", 0, None),
+        ("c1", 1, ""),
+        ("c1", 2, "   \t\n  "),
+        ("c1", 3, f"café ünïcode {name} résumé"),
+        ("c1", 4, "#" + name.replace(" ", "")),
+        ("c1", 5, "a" * 5000),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for gate in (False, True):
+        got = extract_mentions_df(t, bc, batch_gate=gate).collect()
+        # the planted plain mention must be found on the unicode row
+        assert any(r["turn_idx"] == 3 and r["norm"] == name for r in got)
+        # null/empty/whitespace rows produce nothing and no crash
+        assert all(r["turn_idx"] not in (0, 1, 2) for r in got)
+        for r in got:
+            assert rows[r["turn_idx"]][2][r["start"] : r["end"]] == r["surface"]
