@@ -18,7 +18,6 @@ Protocol:
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,8 +33,9 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
-    if not os.path.exists(manifest_path):
-        return []
+    # no driver-local os.path check: the manifest lives on the cluster
+    # filesystem (HDFS/S3/...) where a local exists() is always False —
+    # the read itself is the existence probe on every filesystem
     try:
         rows = spark.read.parquet(manifest_path).select("bucket").distinct().collect()
     except Exception:
