@@ -781,12 +781,15 @@ def join6_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch sanity: approx_count_distinct must land within 5% of
     exact (the sketch itself can't hash-match another engine, so the
-    checked value is the tolerance predicate + the exact count)."""
+    checked value is the tolerance predicate + the exact count).
+    rsd=0.01 so the 5% gate is a ~5-sigma margin — the DEFAULT rsd is
+    0.05, which makes a 5% tolerance a one-sigma coin flip (it flipped
+    at sf0.1's ~1.5k distinct users)."""
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         F.countDistinct("user_id").alias("n_exact"),
         (
-            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            F.abs(F.approx_count_distinct("user_id", rsd=0.01) - F.countDistinct("user_id"))
             <= 0.05 * F.countDistinct("user_id")
         ).alias("approx_within_5pct"),
     )
