@@ -45,6 +45,9 @@ NAME_STOPWORDS = frozenset("the of in at on a an de la el and".split())
 
 _REMOVABLE = CATEGORY_WORDS | MODIFIER_WORDS | NAME_STOPWORDS
 
+# cap for 2^k subset enumeration in name_variants (see comment there)
+_MAX_SUBSET_TOKENS = 10
+
 _NON_ASCII = re.compile(r"[^\x00-\x7f]")
 _HYPHEN_SLASH = re.compile(r"[-/_]+")
 _NON_ALNUM_EDGE = re.compile(r"^[^a-z0-9]+|[^a-z0-9]+$")
@@ -91,7 +94,11 @@ def name_variants(norm: str, mode: str = "hp") -> set[str]:
     if trimmed and trimmed != tokens:
         out.add(" ".join(trimmed))
 
-    removable_idx = [i for i, t in enumerate(tokens) if t in _REMOVABLE]
+    # subset enumeration is 2^k — cap k so a pathological name (OSM
+    # data does contain garbage like repeated filler words) degrades to
+    # partial augmentation instead of hanging the executor UDF; real
+    # location names have <= a handful of removable tokens
+    removable_idx = [i for i, t in enumerate(tokens) if t in _REMOVABLE][:_MAX_SUBSET_TOKENS]
     essential = [t for t in tokens if t not in _REMOVABLE]
     if essential:  # else name is all-generic; G5 filters it anyway
         for r in range(1, len(removable_idx) + 1):
@@ -101,7 +108,7 @@ def name_variants(norm: str, mode: str = "hp") -> set[str]:
                 if variant and any(t not in _REMOVABLE for t in variant):
                     out.add(" ".join(variant))
 
-    if mode == "hr" and len(tokens) >= 3:
+    if mode == "hr" and 3 <= len(tokens) <= _MAX_SUBSET_TOKENS + 2:
         inner = range(1, len(tokens) - 1)
         for r in range(1, len(tokens) - 2 + 1):
             for combo in combinations(inner, r):
