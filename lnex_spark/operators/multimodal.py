@@ -119,10 +119,17 @@ def decode_features(media: DataFrame, use_real_decoder: bool = False) -> DataFra
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan (which timestamps to decode) — pure
-    built-ins; the decode itself is the stubbed step."""
+    built-ins; the decode itself is the stubbed step.
+
+    The sequence is guarded: for a clip shorter than ``every_ms``,
+    sequence(0, -1) would DESCEND to [0, -1] and emit a bogus frame -1
+    (F.sequence infers step -1 when stop < start)."""
     v = media.filter(F.col("kind") == "video")
     n_frames = F.floor(F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")
+    frames = F.when(n_frames >= 1, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return v.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        F.explode(frames).alias("frame_no"),
     ).select("media_id", "frame_no", (F.col("frame_no") * every_ms).alias("ts_ms"))

@@ -138,3 +138,15 @@ def test_frame_sample_plan(docs):
     assert all(r["ts_ms"] == r["frame_no"] * 1000 for r in rows)
     vids = {r["media_id"] for r in rows}
     assert vids == {2, 5}  # doc_id % 3 == 2
+
+
+def test_frame_plan_short_clip_yields_no_frames(spark):
+    """A clip shorter than the sampling interval produces zero frames,
+    not a descending-sequence frame -1."""
+    media = spark.createDataFrame(
+        [(1, "video", None, (16, 16, 16000, 500)), (2, "video", None, (16, 16, 16000, 2500))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    got = {(r["media_id"], r["frame_no"]) for r in multimodal.frame_sample_plan(media, 1000).collect()}
+    assert got == {(2, 0), (2, 1)}
