@@ -3,7 +3,8 @@
 
 Physical plan of record (§4.4): three shuffles total —
   #1 the salted repartition in front of the extraction UDF (skew),
-  #2 the L2 window rank (keyed by mention),
+  #2 the L2 best-candidate aggregation (keyed by mention; min_by with
+     map-side partial aggregation — see operators/link.py),
   #3 the L3 canonical vote (keyed by distinct surface form — tiny).
 The gazetteer side never shuffles the big table: L1 is a broadcast
 hash join. The extraction stage is one mapInPandas (one Arrow
