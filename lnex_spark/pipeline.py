@@ -58,6 +58,28 @@ def build_gazetteer(
     return GazetteerModel(variants=variants, unigram=unigram, bc_struct=bc)
 
 
+def save_gazetteer_model(model: GazetteerModel, path: str) -> None:
+    """Persist the built gazetteer (reference parity: LNEx's
+    ``cache=True`` pickles its dicts; here the variant table and
+    unigram LM are parquet, rebuildable into a broadcast on load —
+    table-format artifacts a whole cluster can share, not a local
+    pickle)."""
+    model.variants.write.mode("overwrite").parquet(f"{path}/variants")
+    model.unigram.write.mode("overwrite").parquet(f"{path}/unigram")
+
+
+def load_gazetteer_model(spark: SparkSession, path: str) -> GazetteerModel:
+    """Load a saved gazetteer model and rebuild the broadcast match
+    structure (skips the scan/normalize/augment/filter stages — the
+    cache-hit path of the reference's ``initialize(cache=True)``)."""
+    from lnex_spark.gazetteer.build import build_match_struct
+
+    variants = spark.read.parquet(f"{path}/variants").cache()
+    unigram = spark.read.parquet(f"{path}/unigram")
+    bc = build_match_struct(spark, variants, unigram)
+    return GazetteerModel(variants=variants, unigram=unigram, bc_struct=bc)
+
+
 def extract_link(
     transcripts: DataFrame,
     model: GazetteerModel,

@@ -59,3 +59,20 @@ def test_initialize_using_files_matches_dataframe_init(spark, fixture_data, tmp_
     a = sorted(tuple(r) for r in compat.extract(m_files, t).collect())
     b = sorted(tuple(r) for r in compat.extract(m_df, t).collect())
     assert a == b
+
+
+def test_model_save_load_roundtrip(spark, fixture_data, tmp_path):
+    """Saved-model reload (reference cache=True parity) produces the
+    same match structure and the same extraction output."""
+    from lnex_spark.pipeline import load_gazetteer_model, save_gazetteer_model
+
+    m = compat.initialize(spark, to_spark_gaz(spark, fixture_data["gaz"]))
+    save_gazetteer_model(m, str(tmp_path / "model"))
+    m2 = load_gazetteer_model(spark, str(tmp_path / "model"))
+
+    assert set(m2.bc_struct.value.full_names) == set(m.bc_struct.value.full_names)
+    assert m2.bc_struct.value.unigram == m.bc_struct.value.unigram
+    t = to_spark_transcripts(spark, fixture_data["transcripts"])
+    a = sorted(tuple(r) for r in compat.extract(m, t).collect())
+    b = sorted(tuple(r) for r in compat.extract(m2, t).collect())
+    assert a == b
