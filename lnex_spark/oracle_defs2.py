@@ -734,6 +734,37 @@ def range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_funcs_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(toks, x -> len(x) > 4)) AS n_long,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_chars,
+           list_max(list_transform(toks, x -> len(x))) AS max_len,
+           list_sort(list_distinct(toks[1:3])) AS head_toks
+    FROM t
+    """,
+)
+def array_funcs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform / aggregate
+    lambdas, slice, distinct, sort) value-checked against DuckDB's
+    list_* equivalents."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_chars"),
+        F.array_max(F.transform(toks, F.length)).alias("max_len"),
+        F.sort_array(F.array_distinct(F.slice(toks, 1, 3))).alias("head_toks"),
+    )
+
+
+@register(
     "join6_local_supplier_revenue",
     """
     SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
