@@ -158,6 +158,12 @@ growth, pure Python) measures ~25-30k texts/sec on ONE core of this
 host (300-variant gazetteer, ~45-token turns), i.e. the distributed
 engine at local[16] runs ~10x one core — single-node parity is the
 floor, the cluster scaling above it is the point.
+
+Quality at scale (ad-hoc evidence, 2026-08-17): full pipeline on
+20,000-turn fixtures per event, scored against the independent
+brute-force gold annotator — triple-level P=R=F1=1.0000 for chennai,
+louisiana, and houston (target >= 0.95; the 3k-turn pytest gate
+asserts the same bound every run).
 """
     )
     print(f"wrote {bench_md}")
