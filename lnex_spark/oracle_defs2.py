@@ -733,6 +733,70 @@ def range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_sql(iters: int = 3, k: int = 8, dim: int = 64, nvec: int = 300) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — possible because the
+    engine's k-means is deterministic by construction (rounded
+    distances/means, id tiebreaks; operators/clustering.py)."""
+    blocks = [
+        f"""v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < {nvec}
+    )""",
+        f"""c0 AS (
+      SELECT CAST(vec_id AS INT) AS cell_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    for j in range(1, iters + 1):
+        p = j - 1
+        blocks.append(
+            f"""f{j} AS (
+      SELECT v.vec_id, c.cell_id, unnest(v.emb) AS x, unnest(c.cemb) AS y
+      FROM v, c{p} c
+    ),
+    d{j} AS (
+      SELECT vec_id, cell_id, round(sum((x - y) * (x - y)), 6) AS d
+      FROM f{j} GROUP BY vec_id, cell_id
+    ),
+    a{j} AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell_id ASC) AS rk
+        FROM d{j}) WHERE rk = 1
+    ),
+    e{j} AS (
+      SELECT a.cell_id, u.i, v.emb[u.i] AS val
+      FROM a{j} a JOIN v USING (vec_id), (SELECT unnest(range(1, {dim + 1})) AS i) u
+    ),
+    m{j} AS (SELECT cell_id, i, round(avg(val), 6) AS m FROM e{j} GROUP BY cell_id, i),
+    c{j} AS (SELECT cell_id, list(m ORDER BY i) AS cemb FROM m{j} GROUP BY cell_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT c.cell_id, n.n_members, c.cemb AS centroid
+    FROM c{iters} c JOIN (SELECT cell_id, count(*) AS n_members FROM a{iters} GROUP BY cell_id) n
+      USING (cell_id)
+    """
+    )
+
+
+@register("kmeans_cells", _kmeans_sql())
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (3 iterations, deterministic init and
+    rounding), value-checked against fully-unrolled SQL iterations."""
+    from lnex_spark.operators.clustering import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    centroids, assignment = kmeans_lloyd(e, k=8, iters=3)
+    counts = assignment.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    return centroids.join(counts, "cell_id").select(
+        "cell_id", "n_members", F.col("cemb").alias("centroid")
+    )
+
+
 @register(
     "array_funcs_stats",
     r"""

@@ -150,3 +150,17 @@ def test_frame_plan_short_clip_yields_no_frames(spark):
     )
     got = {(r["media_id"], r["frame_no"]) for r in multimodal.frame_sample_plan(media, 1000).collect()}
     assert got == {(2, 0), (2, 1)}
+
+
+def test_kmeans_deterministic_across_parallelism(emb):
+    from lnex_spark.operators.clustering import kmeans_lloyd
+
+    spark = emb.sparkSession
+    c1, a1 = kmeans_lloyd(emb.repartition(2), k=3, iters=2)
+    c2, a2 = kmeans_lloyd(emb.repartition(7), k=3, iters=2)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    # every vector assigned exactly once; near-identical vectors co-cluster
+    assign = {r["vec_id"]: r["cell_id"] for r in a1.collect()}
+    assert len(assign) == emb.count()
+    assert assign[0] == assign[20] == assign[21]
