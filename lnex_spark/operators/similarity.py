@@ -136,21 +136,24 @@ def cosine_topk_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: deterministic coarse centroids
-    (the first ``n_cells`` vectors by id — swap in k-means output on a
-    real corpus; the partition/probe plumbing is identical), vectors
-    bucketed by nearest centroid, each query probed against its
-    ``nprobe`` nearest cells only, exact cosine re-rank inside.
+    """IVF-style approximate top-k: coarse centroids (default: the
+    first ``n_cells`` vectors by id; pass ``centroids(cell_id,
+    embedding)`` from clustering.kmeans_lloyd for trained cells — the
+    partition/probe plumbing is identical), vectors bucketed by
+    nearest centroid, each query probed against its ``nprobe`` nearest
+    cells only, exact cosine re-rank inside.
 
     Scale shape: the candidate join is an equi-join on cell_id —
     corpus-sized side shuffles ONCE by cell, queries broadcast; no
     all-pairs stage anywhere. Recall grows with nprobe."""
-    centroids = (
-        embeddings.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").cast("int").alias("cell_id"), "embedding")
-    )
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy("vec_id")
+            .limit(n_cells)
+            .select(F.col("vec_id").cast("int").alias("cell_id"), "embedding")
+        )
     assigned = ivf_assign(embeddings, centroids)  # (vec_id, cell_id, emb)
 
     q = queries.select("query_id", _as_double(F.col("embedding")).alias("qemb"))
