@@ -114,3 +114,48 @@ def test_stateful_first_mentions_stream_matches_batch(spark, fixture_data, model
         got2.filter("is_first").groupBy("conv_id", "norm").count().filter("count != 1").count()
     )
     assert firsts == 0
+
+
+def test_stream_session_window_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window streaming agg agrees with the batch
+    lag+cumsum sessionization on closed data: same session count,
+    per-session event counts, and start timestamps."""
+    from pyspark.sql import functions as F
+
+    from lnex_spark.operators.sessions import session_stats, sessionize
+    from lnex_spark.streaming.stream import stream_session_stats
+
+    ev = spark.range(0, 300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        # bursts of 10 events 1 min apart, then a 2h gap
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / 50).cast("int") * 7200 + (F.col("id") % 50) * 60
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src)
+    q = (
+        stream_session_stats(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_ts"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch = session_stats(sessionize(ev, gap_seconds=1800))
+    want = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # align keys: streaming start_ts (timestamp) -> epoch micros
+    got_us = {(u, int(ts.timestamp() * 1_000_000)): n for (u, ts), n in got.items()}
+    assert got_us == want
