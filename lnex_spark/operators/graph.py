@@ -1,0 +1,149 @@
+"""Graph operators over the KG / dedup layer: distributed connected
+components and co-mention edge extraction.
+
+Neither exists in the reference (LNEx processes one tweet at a time and
+emits no graph); both are corpus-level operations the north rule's KG
+materialization makes natural: near-duplicate PAIRS (operators/dedup.py)
+only become a usable dedup decision once grouped into clusters, and a
+mention-triple table begets a location co-occurrence graph.
+
+Scale notes
+-----------
+``connected_components`` is iterative min-label propagation:
+
+* each round is one keyed shuffle join (edges ⋈ labels) + one hash
+  aggregation; rounds needed = graph diameter.  Near-dup graphs are
+  shallow (copies of copies — diameter a handful), so O(diameter)
+  rounds beat the constant-factor-heavy O(log n) star-contraction
+  variants (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14) for this workload; for adversarial diameters
+  switch to alternating large-star/small-star — same join/agg
+  primitives, fewer rounds.
+* lineage is truncated every round (``localCheckpoint``; on a real
+  cluster pass ``use_reliable_checkpoint=True`` after
+  ``sc.setCheckpointDir``) — without this the plan doubles per
+  iteration and the driver OOMs planning round ~20.
+* the undirected edge list is repartitioned by source once and
+  persisted, so every round's join reuses the same partitioning
+  instead of re-shuffling the (big) edge side.
+
+``comention_edges`` deliberately avoids a per-conversation self-join:
+geo sets are collected per conversation (sorted, distinct) and the
+i<j pairs unrolled with array ``transform``/``slice`` — one shuffle,
+no O(|edges|²) join, with a ``max_geos_per_conv`` guard because a
+conversation mentioning G locations yields G·(G-1)/2 pairs (the same
+quadratic-postings trade documented for jaccard_pairs' stop-shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Symmetrize + dedupe an edge list into (a, b) both directions."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).where(
+        F.col("a") != F.col("b")
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation.
+
+    Returns ``(node, component)`` for every node appearing in
+    ``edges``; ``component`` is the smallest node id reachable from
+    ``node`` (deterministic representative). Converges in
+    graph-diameter rounds; raises if ``max_iter`` rounds pass without
+    a fixpoint (pathological diameter → use star-contraction instead).
+    """
+    und = undirect(edges, src, dst)
+    n_part = und.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    und = und.repartition(int(n_part), "a").persist()
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if use_reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _truncate(labels)
+    for _ in range(max_iter):
+        prop = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "component"
+        )
+        new_labels = _truncate(
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            und.unpersist()
+            return labels
+    und.unpersist()
+    raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pair list → per-doc cluster assignment.
+
+    ``pairs`` is any (doc_a, doc_b[, ...]) relation (jaccard_pairs,
+    lsh_candidate_pairs, simhash_near_dups output). The returned
+    ``(doc_id, cluster)`` keeps the minimum doc_id of each connected
+    component as the canonical survivor — the usual "keep first, drop
+    rest" dedup policy, made transitive."""
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
+
+
+def comention_edges(
+    mention_triples: DataFrame, max_geos_per_conv: int | None = None
+) -> DataFrame:
+    """Location co-occurrence graph from mention triples.
+
+    Input is the K1 mention-triple table
+    ``(subj = 'conv_id#turn_idx', pred, obj = geo_id)``; output is
+    ``(geo_a, geo_b, n_convs)`` with geo_a < geo_b — the number of
+    conversations mentioning both locations. One shuffle (the
+    conversation-level collect_set); pairs unrolled array-side."""
+    conv_geo = mention_triples.select(
+        F.substring_index("subj", "#", 1).alias("conv_id"),
+        F.col("obj").cast("long").alias("geo"),
+    )
+    geo_sets = conv_geo.groupBy("conv_id").agg(
+        F.sort_array(F.collect_set("geo")).alias("gs")
+    )
+    if max_geos_per_conv is not None:
+        geo_sets = geo_sets.where(F.size("gs") <= max_geos_per_conv)
+    gs = F.col("gs")
+    pairs = F.flatten(
+        F.transform(
+            gs,
+            lambda x, i: F.transform(
+                F.slice(gs, i + F.lit(2), F.size(gs) - i - 1),
+                lambda y: F.struct(x.alias("geo_a"), y.alias("geo_b")),
+            ),
+        )
+    )
+    return (
+        geo_sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.geo_a").alias("geo_a"), F.col("p.geo_b").alias("geo_b"))
+        .agg(F.count("*").alias("n_convs"))
+    )

@@ -153,10 +153,9 @@ def m1_ngram_match_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_mentions"))
 
 
-@register(
-    "kg_e2e_sql",
-    f"""
-    WITH {_SQL_TOKENIZE},
+# linked mentions -> per-span winner (L2) -> canonical vote (L3);
+# shared by kg_e2e_sql and the co-mention oracle in oracle_defs3.
+_SQL_LINK = """
     linked AS (
       SELECT f.doc_id, f.s, f.e, f.norm, g.geo_id, g.match_type, g.cat_priority
       FROM final f JOIN gaz g USING (norm)
@@ -175,6 +174,14 @@ def m1_ngram_match_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY norm ORDER BY v DESC, geo_id ASC) AS rk
         FROM votes) WHERE rk = 1
     )
+"""
+
+
+@register(
+    "kg_e2e_sql",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    {_SQL_LINK}
     SELECT DISTINCT CAST(w.doc_id AS VARCHAR) || '#0' AS subj,
            'mentionsLocation' AS pred, CAST(c.canonical AS VARCHAR) AS obj
     FROM winners w JOIN canon c ON w.norm = c.norm

@@ -1,0 +1,162 @@
+"""Third oracle-registry module (round-1 continuation): graph-layer
+operators — transitive dedup clustering via distributed connected
+components, the location co-mention graph over the SQL-verified KG
+pipeline — plus relational coverage for unpivot/melt.
+
+The connected-components oracle is the interesting one: the Spark side
+is a genuinely iterative min-label-propagation job
+(operators/graph.py), the DuckDB side an independent WITH RECURSIVE
+reachability fixpoint — two different algorithms agreeing on the exact
+(node, component) assignment, including multi-hop chains (the edge set
+mixes near-dup Jaccard pairs with relational chain edges so components
+have diameter > 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lnex_spark.oracle_defs2 import _SQL_LINK, _SQL_TOKENIZE, _oracle_mentions, _oracle_variants
+from lnex_spark.oracles import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Shared Jaccard near-dup shingle chain (same construction as
+# dedup_ngram_jaccard, kept in lockstep with jaccard_pairs semantics).
+_SQL_JACC_EDGES = r"""
+    uni AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM uni),
+    pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    chain AS (
+      SELECT doc_id AS doc_a, doc_id + 3 AS doc_b FROM documents
+      WHERE doc_id % 7 = 0 AND doc_id + 3 < 100
+    ),
+    edges AS (SELECT doc_a, doc_b FROM jacc UNION SELECT doc_a, doc_b FROM chain)
+"""
+
+
+def _component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_JACC_EDGES: Jaccard near-dup pairs over
+    base+copies, plus relational chain edges for multi-hop components."""
+    from lnex_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 100)
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    jacc = jaccard_pairs(base.unionByName(dup), n=3, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    chain = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") + 3 < 100)).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 3).alias("doc_b")
+    )
+    return jacc.unionByName(chain).distinct()
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE
+    {_SQL_JACC_EDGES},
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: iterative distributed connected
+    components over (Jaccard ∪ chain) edges, value-checked against an
+    independent DuckDB recursive-reachability fixpoint."""
+    from lnex_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(_component_edges(spark, sf_dir))
+
+
+@register(
+    "kg_comention",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    {_SQL_LINK},
+    docgeo AS (
+      SELECT DISTINCT w.doc_id, c.canonical AS geo
+      FROM winners w JOIN canon c ON w.norm = c.norm
+    )
+    SELECT CAST(a.geo AS BIGINT) AS geo_a, CAST(b.geo AS BIGINT) AS geo_b,
+           count(*) AS n_convs
+    FROM docgeo a JOIN docgeo b ON a.doc_id = b.doc_id AND a.geo < b.geo
+    GROUP BY 1, 2
+    """,
+)
+def kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location co-occurrence graph over the canonical mention triples
+    of the SQL-verified KG pipeline: (geo_a, geo_b, n_convs) with one
+    conversation-level shuffle and array-side pair unrolling (no
+    self-join) — value-checked against DuckDB's relational self-join
+    form."""
+    from lnex_spark.operators.graph import comention_edges
+    from lnex_spark.operators.link import (
+        apply_canonical,
+        canonicalize,
+        link_mentions,
+        score_candidates,
+    )
+    from lnex_spark.operators.triples import mention_triples
+
+    variants = _oracle_variants(spark)
+    winners = score_candidates(link_mentions(_oracle_mentions(spark, sf_dir), variants))
+    final = apply_canonical(winners, canonicalize(winners))
+    return comention_edges(mention_triples(final))
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
+    FROM (UNPIVOT (SELECT p_brand, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+                   FROM part)
+          ON p_size, p_retailprice INTO NAME metric VALUE val)
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt/unpivot coverage: wide part metrics -> long (metric, val),
+    aggregated per brand. Spark ``DataFrame.unpivot`` vs DuckDB UNPIVOT."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return (
+        p.unpivot(["p_brand"], ["p_size", "p_retailprice"], "metric", "val")
+        .groupBy("p_brand", "metric")
+        .agg(F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total"))
+    )

@@ -1,0 +1,105 @@
+"""Graph operators: connected components (multi-hop, determinism,
+convergence) and co-mention edge extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lnex_spark.operators.graph import (
+    comention_edges,
+    connected_components,
+    dedup_clusters,
+    undirect,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_cc_multihop_chain(spark):
+    # 1-2-3-4 chain (diameter 3), isolated pair 10-11, triangle 20-21-22
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)])
+    got = {
+        (r.node, r.component)
+        for r in connected_components(e).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_cc_direction_and_self_loop_insensitive(spark):
+    # reversed edges, duplicates, self-loops: same components
+    e = _edges(spark, [(2, 1), (3, 2), (4, 3), (1, 1), (4, 3)])
+    got = {(r.node, r.component) for r in connected_components(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_cc_deterministic_across_parallelism(spark):
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e1 = _edges(spark, pairs).repartition(1)
+    e7 = _edges(spark, pairs).repartition(7)
+    r1 = sorted((r.node, r.component) for r in connected_components(e1).collect())
+    r7 = sorted((r.node, r.component) for r in connected_components(e7).collect())
+    assert r1 == r7
+    # representative is the component minimum
+    comps: dict[int, list[int]] = {}
+    for node, comp in r1:
+        comps.setdefault(comp, []).append(node)
+    for comp, nodes in comps.items():
+        assert comp == min(nodes)
+
+
+def test_cc_max_iter_guard(spark):
+    import pytest
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(e, max_iter=1)
+
+
+def test_dedup_clusters_schema(spark):
+    e = _edges(spark, [(5, 9), (9, 7)])
+    out = dedup_clusters(e)
+    assert out.columns == ["doc_id", "cluster"]
+    got = {(r.doc_id, r.cluster) for r in out.collect()}
+    assert got == {(5, 5), (9, 5), (7, 5)}
+
+
+def test_undirect_symmetrizes(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (3, 3)])
+    got = {(r.a, r.b) for r in undirect(e).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_comention_edges_pairs_and_counts(spark):
+    triples = spark.createDataFrame(
+        [
+            ("c1#0", "mentionsLocation", 7),
+            ("c1#1", "mentionsLocation", 3),
+            ("c1#2", "mentionsLocation", 7),  # dup mention, same conv
+            ("c2#0", "mentionsLocation", 3),
+            ("c2#5", "mentionsLocation", 7),
+            ("c3#0", "mentionsLocation", 3),  # single-geo conv: no pairs
+        ],
+        "subj string, pred string, obj long",
+    )
+    got = {(r.geo_a, r.geo_b, r.n_convs) for r in comention_edges(triples).collect()}
+    assert got == {(3, 7, 2)}
+
+
+def test_comention_max_geos_guard(spark):
+    triples = spark.createDataFrame(
+        [("c1#0", "p", g) for g in range(10)] + [("c2#0", "p", 1), ("c2#1", "p", 2)],
+        "subj string, pred string, obj long",
+    )
+    out = comention_edges(triples, max_geos_per_conv=5)
+    got = {(r.geo_a, r.geo_b) for r in out.collect()}
+    assert got == {(1, 2)}  # the 10-geo conversation is capped out
