@@ -138,6 +138,36 @@ def kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_synth_transcripts",
+    """
+    WITH convs AS (SELECT unnest(range(0, 40)) AS i),
+    turns AS (SELECT unnest(range(0, 25)) AS j)
+    SELECT 'c' || i AS conv_id, CAST(j AS INT) AS turn_idx,
+           CASE WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           'turn ' || i || ' ' || j || ' ' || substr(md5('c' || i || ':' || j), 1, 8) AS text,
+           CASE WHEN j % 5 = 3 THEN 'search' ELSE NULL END AS tool
+    FROM convs CROSS JOIN turns
+    """,
+)
+def source_synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python Data Source (sources/synth.py): every generated row
+    — a pure md5 function of (conv, turn) — re-derived independently
+    in DuckDB and value-hash-compared. ts is pinned by unit tests
+    (timestamp formatting differs across engines, not semantics)."""
+    from lnex_spark.sources import synth
+
+    synth.register(spark)
+    df = (
+        spark.read.format("transcripts_synth")
+        .option("n_convs", 40)
+        .option("turns_per_conv", 25)
+        .option("num_partitions", 4)
+        .load()
+    )
+    return df.drop("ts")
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total

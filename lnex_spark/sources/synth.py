@@ -1,0 +1,175 @@
+"""Python Data Source (Spark 4 ``pyspark.sql.datasource``) producing
+deterministic synthetic transcripts.
+
+The reference bootstraps from external services/files (Photon ES
+queries, pickled gazetteers); this engine's equivalent seam is a
+first-class *source*: ``spark.read.format("transcripts_synth")`` —
+a partition-planned, filter-pushdown-capable generator of the exact
+``(conv_id, turn_idx, role, text, tool, ts)`` transcript shape from
+BASELINE.json's input_hint, usable for tests/benches at any scale
+with zero I/O.
+
+Content is a pure function of (conv, turn) via md5, so an independent
+SQL engine can re-derive every row — the driver's DuckDB oracle
+value-checks the source (``source_synth_transcripts``).
+
+Scale design:
+
+* ``partitions()`` splits the conversation id space into
+  ``num_partitions`` contiguous ranges — generation is embarrassingly
+  parallel, no driver materialization, executors each produce only
+  their range (the Data Source API ships one pickled reader + the
+  partition object per task).
+* ``pushFilters`` prunes conversation ranges for ``conv_id``
+  equality/IN and caps turn generation for ``turn_idx`` upper bounds.
+  Pushed filters are also RETURNED (i.e., Spark still re-evaluates
+  them) — pruning is a generation-cost optimization, never a
+  correctness dependency.
+* the streaming half (``SimpleDataSourceStreamReader``) replays the
+  same rows in conversation-id order with the offset
+  ``{"next_conv": k}`` — an exactly-once, replayable source for
+  Structured Streaming tests (stream ≡ batch by construction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+_EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def _row(i: int, j: int):
+    conv = f"c{i}"
+    tag = hashlib.md5(f"{conv}:{j}".encode()).hexdigest()[:8]
+    return (
+        conv,
+        j,
+        "user" if j % 2 == 0 else "assistant",
+        f"turn {i} {j} {tag}",
+        "search" if j % 5 == 3 else None,
+        _EPOCH + timedelta(seconds=i * 3600 + j * 60),
+    )
+
+
+def _gen(conv_lo: int, conv_hi: int, turns: int) -> Iterator[tuple]:
+    for i in range(conv_lo, conv_hi):
+        for j in range(turns):
+            yield _row(i, j)
+
+
+class _ConvRange(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class SynthTranscriptReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_convs = int(options.get("n_convs", 100))
+        self.turns_per_conv = int(options.get("turns_per_conv", 20))
+        self.num_partitions = int(options.get("num_partitions", 8))
+        # pushdown state (see pushFilters)
+        self.conv_subset: set[int] | None = None
+        self.turn_cap: int | None = None
+
+    @staticmethod
+    def _conv_num(v) -> int | None:
+        s = str(v)
+        return int(s[1:]) if s.startswith("c") and s[1:].isdigit() else None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("conv_id",):
+                n = self._conv_num(f.value)
+                sub = {n} if n is not None else set()
+                self.conv_subset = sub if self.conv_subset is None else self.conv_subset & sub
+            elif isinstance(f, In) and f.attribute == ("conv_id",):
+                sub = {n for v in f.value if (n := self._conv_num(v)) is not None}
+                self.conv_subset = sub if self.conv_subset is None else self.conv_subset & sub
+            elif isinstance(f, LessThan) and f.attribute == ("turn_idx",):
+                cap = int(f.value)
+                self.turn_cap = cap if self.turn_cap is None else min(self.turn_cap, cap)
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("turn_idx",):
+                cap = int(f.value) + 1
+                self.turn_cap = cap if self.turn_cap is None else min(self.turn_cap, cap)
+            # generation is pruned, but Spark re-checks everything:
+            yield f
+
+    def _turns(self) -> int:
+        t = self.turns_per_conv
+        return t if self.turn_cap is None else max(0, min(t, self.turn_cap))
+
+    def partitions(self):
+        if self.conv_subset is not None:
+            convs = sorted(c for c in self.conv_subset if 0 <= c < self.n_convs)
+            return [_ConvRange(c, c + 1) for c in convs] or [_ConvRange(0, 0)]
+        n, p = self.n_convs, max(1, self.num_partitions)
+        step = -(-n // p)
+        return [_ConvRange(lo, min(lo + step, n)) for lo in range(0, n, step)]
+
+    def read(self, partition: _ConvRange) -> Iterator[tuple]:
+        return _gen(partition.lo, partition.hi, self._turns())
+
+
+class SynthTranscriptStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_convs = int(options.get("n_convs", 100))
+        self.turns_per_conv = int(options.get("turns_per_conv", 20))
+        self.convs_per_batch = int(options.get("convs_per_batch", 10))
+
+    def initialOffset(self):
+        return {"next_conv": 0}
+
+    def read(self, start):
+        lo = int(start["next_conv"])
+        hi = min(lo + self.convs_per_batch, self.n_convs)
+        # materialized, not a generator: the prefetch cache pickles the
+        # iterator for replay (bounded by convs_per_batch)
+        return list(_gen(lo, hi, self.turns_per_conv)), {"next_conv": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return list(
+            _gen(int(start["next_conv"]), int(end["next_conv"]), self.turns_per_conv)
+        )
+
+
+class SynthTranscriptDataSource(DataSource):
+    """``spark.read.format("transcripts_synth")`` — see module docstring.
+
+    Options: n_convs, turns_per_conv, num_partitions (batch),
+    convs_per_batch (streaming).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts_synth"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> SynthTranscriptReader:
+        return SynthTranscriptReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SynthTranscriptStreamReader:
+        return SynthTranscriptStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the transcripts_synth format."""
+    spark.dataSource.register(SynthTranscriptDataSource)
