@@ -113,6 +113,38 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "geo_a",
+    dst: str = "geo_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Undirected PageRank (classic per-node form, rank₀ = 1, no 1/N
+    normalization) over an edge list; returns ``(node, rank)``.
+
+    Fixed ``iters`` rounds — each is one keyed shuffle join
+    (edges ⋈ ranks ⋈ degrees) plus one hash aggregation. Undirected
+    symmetrization means every node has degree ≥ 1, so there is no
+    dangling-mass term. Floating-point determinism: partial-sum order
+    varies across partitionings, so callers comparing across engines
+    should round (the oracle rounds to 6 digits; contributions per
+    node are few, error ~1e-15)."""
+    und = undirect(edges, src, dst)
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = deg.select(F.col("a").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg, "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+    return ranks
+
+
 def comention_edges(
     mention_triples: DataFrame, max_geos_per_conv: int | None = None
 ) -> DataFrame:

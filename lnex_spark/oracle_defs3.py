@@ -137,6 +137,91 @@ def kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comention_edges(mention_triples(final))
 
 
+# bare 1.0/0.15 are DECIMAL in DuckDB — cast to DOUBLE so both engines
+# run the same float arithmetic
+_SQL_PR_ITER = """
+    r{k} AS (
+      SELECT u.b AS node,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+      FROM und u JOIN r{p} r ON r.node = u.a JOIN deg d ON d.a = u.a
+      GROUP BY u.b
+    )"""
+
+
+@register(
+    "kg_pagerank",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    {_SQL_LINK},
+    docgeo AS (
+      SELECT DISTINCT w.doc_id, c.canonical AS geo
+      FROM winners w JOIN canon c ON w.norm = c.norm
+    ),
+    edges AS (
+      SELECT DISTINCT CAST(a.geo AS BIGINT) AS geo_a, CAST(b.geo AS BIGINT) AS geo_b
+      FROM docgeo a JOIN docgeo b ON a.doc_id = b.doc_id AND a.geo < b.geo
+    ),
+    und AS (
+      SELECT geo_a AS a, geo_b AS b FROM edges
+      UNION SELECT geo_b, geo_a FROM edges
+    ),
+    deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+    r0 AS (SELECT a AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+    {_SQL_PR_ITER.format(k=1, p=0)},
+    {_SQL_PR_ITER.format(k=2, p=1)},
+    {_SQL_PR_ITER.format(k=3, p=2)}
+    SELECT node AS geo_id, round(rank, 6) AS rank FROM r3
+    """,
+)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location importance: 3-iteration PageRank over the co-mention
+    graph of the SQL-verified KG pipeline, value-checked against
+    fully-unrolled DuckDB iterations (same iterative-algorithm oracle
+    technique as kmeans_cells)."""
+    from lnex_spark.operators.graph import comention_edges, pagerank
+    from lnex_spark.operators.link import (
+        apply_canonical,
+        canonicalize,
+        link_mentions,
+        score_candidates,
+    )
+    from lnex_spark.operators.triples import mention_triples
+
+    variants = _oracle_variants(spark)
+    winners = score_candidates(link_mentions(_oracle_mentions(spark, sf_dir), variants))
+    final = apply_canonical(winners, canonicalize(winners))
+    edges = comention_edges(mention_triples(final)).select("geo_a", "geo_b")
+    pr = pagerank(edges, iters=3)
+    return pr.select(F.col("node").alias("geo_id"), F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "lateral_topk_customers",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n JOIN LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
+    """,
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY LIMIT
+    (Spark 3.2+ lateral join) vs DuckDB LATERAL — the subquery-shaped
+    twin of the window-function top-k ops."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
+
+
 @register(
     "source_synth_transcripts",
     """

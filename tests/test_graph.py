@@ -79,6 +79,37 @@ def test_undirect_symmetrizes(spark):
     assert got == {(1, 2), (2, 1)}
 
 
+def test_pagerank_matches_reference(spark):
+    from lnex_spark.operators.graph import pagerank
+
+    # path graph 1-2-3: degrees 1,2,1
+    e = spark.createDataFrame([(1, 2), (2, 3)], "geo_a long, geo_b long")
+    got = {r.node: r.rank for r in pagerank(e, iters=3).collect()}
+
+    # same recurrence in plain python
+    ranks = {1: 1.0, 2: 1.0, 3: 1.0}
+    deg = {1: 1, 2: 2, 3: 1}
+    nbrs = {1: [2], 2: [1, 3], 3: [2]}
+    for _ in range(3):
+        ranks = {
+            n: 0.15 + 0.85 * sum(ranks[m] / deg[m] for m in nbrs[n]) for n in ranks
+        }
+    assert got.keys() == ranks.keys()
+    for n in ranks:
+        assert abs(got[n] - ranks[n]) < 1e-9
+
+
+def test_pagerank_deterministic_across_parallelism(spark):
+    from lnex_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20]
+    e1 = spark.createDataFrame(pairs, "geo_a long, geo_b long").repartition(1)
+    e5 = spark.createDataFrame(pairs, "geo_a long, geo_b long").repartition(5)
+    r1 = sorted((r.node, round(r.rank, 9)) for r in pagerank(e1).collect())
+    r5 = sorted((r.node, round(r.rank, 9)) for r in pagerank(e5).collect())
+    assert r1 == r5
+
+
 def test_comention_edges_pairs_and_counts(spark):
     triples = spark.createDataFrame(
         [
