@@ -253,6 +253,97 @@ def source_synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path over semi-structured props:
+    parse_json -> variant_get typed extraction (vs the string-path
+    get_json_object in json_props_extract) — the open-schema idiom for
+    Iceberg/transcript metadata columns."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.max("k").alias("max_k"), F.count("*").alias("n")
+    )
+
+
+_Q17_SQL = """
+    SELECT round(coalesce(sum(l_extendedprice), 0) / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("scalar_subquery_q17", _Q17_SQL)
+def scalar_subquery_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery in a predicate —
+    exercises Catalyst's subquery decorrelation (rewritten to an agg +
+    join; never a per-row subquery execution)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+"""
+
+
+@register("exists_subquery_q4", _Q4_SQL)
+def exists_subquery_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery (decorrelated to a
+    left-semi join) — the subquery-syntax twin of semi_anti_join."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+@register(
+    "response_latency_pairs",
+    """
+    WITH convs AS (SELECT unnest(range(0, 40)) AS i),
+    turns AS (SELECT unnest(range(0, 25)) AS j)
+    SELECT 'c' || i AS conv_id, CAST(j AS INT) AS user_turn,
+           CAST(j + 1 AS INT) AS assistant_turn, CAST(60 AS BIGINT) AS latency_sec
+    FROM convs CROSS JOIN turns
+    WHERE j % 2 = 0 AND j + 1 < 25
+    """,
+)
+def response_latency_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join
+    (streaming/join.py response_latency_join) over the synthetic
+    source, value-checked against the closed-form pairing the
+    generator implies (user turn j even → assistant j+1, 60s later).
+    Stream ≡ batch is covered by tests/test_stream_join.py."""
+    from lnex_spark.sources import synth
+    from lnex_spark.streaming.join import response_latency_join
+
+    synth.register(spark)
+    turns = (
+        spark.read.format("transcripts_synth")
+        .option("n_convs", 40)
+        .option("turns_per_conv", 25)
+        .option("num_partitions", 4)
+        .load()
+    )
+    return response_latency_join(turns)
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
