@@ -38,6 +38,12 @@ CHECKS = {
     # IVF: centroid side broadcast; candidate join is broadcast too
     # (probes are tiny); no SortMergeJoin anywhere
     "ivf": dict(want=["BroadcastHashJoin"], forbid=["SortMergeJoin"]),
+    # correlated scalar subquery must be decorrelated into agg+join —
+    # a per-row subquery would show a (Scalar)Subquery node per row
+    "q17": dict(want=["HashAggregate", "Join"], forbid=["ScalarSubquery"]),
+    # co-mention pairs are unrolled array-side from collect_set —
+    # NO self-join anywhere in the plan
+    "comention": dict(want=["HashAggregate", "Generate"], forbid=["Join"]),
 }
 
 
@@ -107,6 +113,16 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     plans["ivf"] = grab(cosine_topk_ivf(emb, q))
+
+    from lnex_spark.oracle_defs3 import scalar_subquery_q17
+    from lnex_spark.operators.graph import comention_edges
+
+    plans["q17"] = grab(scalar_subquery_q17(spark, sf))
+    triples = spark.createDataFrame(
+        [("c1#0", "mentionsLocation", 7), ("c1#1", "mentionsLocation", 3)],
+        "subj string, pred string, obj long",
+    )
+    plans["comention"] = grab(comention_edges(triples))
 
     import re
 
