@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from lnex_spark.gazetteer.build import (
@@ -161,22 +161,29 @@ def run_resumable(
         batch = pending[i : i + buckets_per_batch]
         subset = bucketed.filter(F.col("bucket").isin(batch))
         with StageTimer() as timer:
-            t = subset.drop("bucket")
+            # metrics ride along the ONE write job via CollectMetrics
+            # (df.observe) — counting with separate actions would run
+            # the expensive Arrow extraction stage twice per batch
+            obs_turns = Observation(f"turns-{batch_no}")
+            obs_mentions = Observation(f"mentions-{batch_no}")
+            t = subset.drop("bucket").observe(
+                obs_turns, F.count(F.lit(1)).alias("n")
+            )
             if salt_partitions:
                 t = salt_repartition(t, salt_partitions)
             mentions = extract_mentions_df(t, model.bc_struct)
             winners = score_candidates(link_mentions(mentions, model.variants))
             winners = winners.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
-            )
-            n_mentions = winners.count()
+            ).observe(obs_mentions, F.count(F.lit(1)).alias("n"))
             (
                 winners.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(winners_path)
             )
-            n_turns = subset.count()
+            n_turns = int(obs_turns.get["n"])
+            n_mentions = int(obs_mentions.get["n"])
         per = max(len(batch), 1)
         batch_id = f"batch-{batch_no}"
         record_buckets(
