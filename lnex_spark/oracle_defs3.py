@@ -344,6 +344,53 @@ def response_latency_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_shingles",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE doc_id < 100
+    ),
+    pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(t[i:i+1], ' ') AS shingle
+    FROM pos
+    """,
+)
+def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: SQL LATERAL table function emitting bigram
+    shingles per document (Arrow-optimized), value-checked against
+    DuckDB's unnest-based relational twin."""
+    from lnex_spark.operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.shingle "
+        "FROM docs_udtf d, LATERAL shingle_udtf(d.text) s"
+    )
+
+
+@register(
+    "gmean_grouped_udf",
+    """
+    SELECT event_type, round(exp(avg(ln(value))), 6) AS gmean
+    FROM events GROUP BY event_type
+    """,
+)
+def gmean_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (vectorized UDAF): geometric mean
+    of event values per type, oracle exp(avg(ln(x)))."""
+    from lnex_spark.operators.udtfs import gmean_udf
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(gmean_udf("value"), 6).alias("gmean")
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
