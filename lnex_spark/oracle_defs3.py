@@ -391,6 +391,39 @@ def gmean_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_nation_counts",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage (the one join type the engine had not
+    exercised): per-nation customer vs high-balance supplier counts,
+    with nulls surviving on either side."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
