@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lnex_spark.oracle_defs2 import _SQL_LINK, _SQL_TOKENIZE, _oracle_mentions, _oracle_variants
+from lnex_spark.oracle_defs2 import (
+    _SQL_LINK,
+    _SQL_TOKENIZE,
+    _docs_as_transcripts,
+    _oracle_mentions,
+    _oracle_variants,
+)
 from lnex_spark.oracles import register
 
 
@@ -250,6 +256,30 @@ def source_synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.drop("ts")
+
+
+@register(
+    "m1_relational_sql",
+    f"""
+    WITH {_SQL_TOKENIZE}
+    SELECT doc_id, norm, count(*) AS n_mentions
+    FROM final GROUP BY doc_id, norm
+    """,
+)
+def m1_relational_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BROADCAST-FREE matcher (operators/extract_relational.py —
+    tokens → windowed n-grams → distributed semi-join vs the gazetteer
+    → exact greedy resolve) against the same independent DuckDB
+    re-derivation that checks the broadcast matcher
+    (m1_ngram_match_sql): three implementations, one answer."""
+    from lnex_spark.operators.extract_relational import extract_mentions_relational
+
+    m = extract_mentions_relational(
+        _docs_as_transcripts(spark, sf_dir), _oracle_variants(spark), max_tokens=3
+    )
+    return m.groupBy(
+        F.col("conv_id").cast("long").alias("doc_id"), "norm"
+    ).agg(F.count("*").alias("n_mentions"))
 
 
 @register(
