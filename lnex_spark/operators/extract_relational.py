@@ -101,8 +101,93 @@ def tokenize_relational(transcripts: DataFrame, bc_unigram=None) -> DataFrame:
     )
 
 
-def ngram_candidates(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
-    """Stage B: all 1..max_tokens grams per segment, one shuffle."""
+def gram_rows(
+    transcripts: DataFrame,
+    max_tokens: int = 4,
+    bc_unigram=None,
+    bc_start_tokens=None,
+) -> DataFrame:
+    """Stages A+B fused: candidate gram rows emitted straight from the
+    tokenize island — ZERO shuffles before the gazetteer join.
+
+    The window form (``tokenize_relational`` + ``ngram_candidates``)
+    pays a keyed shuffle of every token row to line up lead()s;
+    measured at 200k turns that shuffle, not the gazetteer join, was
+    the bottleneck (see BENCH.md). Emitting the 1..max_tokens grams
+    inside the Python island costs no shuffle and the same Arrow
+    volume as the post-window explode.
+
+    ``bc_start_tokens`` (optional broadcast frozenset of every name's
+    FIRST token) gates emission ~25× at real selectivity; it is the
+    small half of the two-level design — planet-scale gazetteers have
+    ~10^8 variants but only ~10^6-10^7 distinct first tokens, so the
+    first-token SET broadcasts even when the name set cannot. Without
+    it every gram is emitted and semantics are unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        segmenter = (
+            HashtagSegmenter(bc_unigram.value) if bc_unigram is not None else None
+        )
+        starts = bc_start_tokens.value if bc_start_tokens is not None else None
+        for pdf in batches:
+            conv, turn, s_c, e_c, g_c = [], [], [], [], []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
+            ):
+                if not text:
+                    continue
+                stream = build_token_stream(text, segmenter)
+                n = len(stream)
+                for i in range(n):
+                    norm0, start0, _e0, brk0, group0 = stream[i]
+                    if brk0 or not norm0:
+                        continue
+                    if starts is not None and norm0 not in starts:
+                        continue
+                    parts: list[str] = []
+                    j = i
+                    while j < n and len(parts) < max_tokens:
+                        normj, _sj, endj, brkj, groupj = stream[j]
+                        if brkj or not normj or groupj != group0:
+                            break
+                        parts.append(normj)
+                        conv.append(conv_id)
+                        turn.append(turn_idx)
+                        s_c.append(start0)
+                        e_c.append(endj)
+                        g_c.append(" ".join(parts))
+                        j += 1
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv, dtype="object"),
+                    "turn_idx": pd.Series(turn, dtype="int32"),
+                    "start": pd.Series(s_c, dtype="int32"),
+                    "end": pd.Series(e_c, dtype="int32"),
+                    "norm": pd.Series(g_c, dtype="object"),
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=_CAND_SCHEMA
+    )
+
+
+def ngram_candidates(
+    tokens: DataFrame, max_tokens: int = 4, start_tokens: DataFrame | None = None
+) -> DataFrame:
+    """Stage B: all 1..max_tokens grams per segment, one shuffle.
+
+    ``start_tokens`` (a ``norm`` column of every gazetteer name's FIRST
+    token) gates gram generation: every match must start with one, so
+    non-starting token rows are semi-joined away BEFORE the ×max_tokens
+    explode feeds the big gazetteer join. The first-token set is one to
+    two orders smaller than the name set (planet OSM: ~10^6-10^7 firsts
+    vs ~10^8 variants), so it usually broadcasts even when the
+    gazetteer cannot — and if not, Catalyst plans an SMJ and the path
+    is still valid. Measured at 200k turns the gate helped only 1.24×
+    here: the token-row window shuffle dominates this form, which is
+    why ``gram_rows`` (shuffle-free candidate emission) is the default
+    path; this window form remains as the fully-relational variant."""
     w = Window.partitionBy("conv_id", "turn_idx", "seg").orderBy("pos")
     # window exprs can't live under explode — materialize gram_k/end_k
     # as plain columns first (all leads share the one window spec)
@@ -117,7 +202,9 @@ def ngram_candidates(tokens: DataFrame, max_tokens: int = 4) -> DataFrame:
         end_k = F.col("end") if k == 1 else F.lead("end", k - 1).over(w)
         proj.append(gram_expr.alias(f"g{k}"))
         proj.append(end_k.alias(f"e{k}"))
-    staged = tokens.select(*proj)
+    staged = tokens.select(*proj, F.col("norm"))
+    if start_tokens is not None:
+        staged = staged.join(start_tokens.select("norm").distinct(), "norm", "left_semi")
     unrolled = staged.select(
         "conv_id",
         "turn_idx",
@@ -162,11 +249,35 @@ def extract_mentions_relational(
     variants: DataFrame,
     max_tokens: int = 4,
     bc_unigram=None,
+    max_start_tokens: int = 10_000_000,
+    use_window_form: bool = False,
 ) -> DataFrame:
     """The full broadcast-free path (module docstring). ``variants``
-    needs only a ``norm`` column; it is never collected."""
-    tokens = tokenize_relational(transcripts, bc_unigram)
-    cands = ngram_candidates(tokens, max_tokens)
+    (the full NAME set) is never collected; only the far smaller
+    distinct-FIRST-token set is, capped by ``max_start_tokens`` —
+    past the cap the gate is skipped (pure-join semantics, unchanged
+    results). ``use_window_form`` switches stage A+B to the
+    fully-relational window variant (slower; kept for the plan-shape
+    tests and as the zero-collect escape hatch)."""
+    spark = transcripts.sparkSession
+    start_tokens = variants.select(
+        F.split(F.col("norm"), " ").getItem(0).alias("norm")
+    ).distinct()
+    if use_window_form:
+        tokens = tokenize_relational(transcripts, bc_unigram)
+        cands = ngram_candidates(tokens, max_tokens, start_tokens=start_tokens)
+    else:
+        firsts = [
+            r[0] for r in start_tokens.limit(max_start_tokens + 1).collect()
+        ]
+        bc_starts = (
+            spark.sparkContext.broadcast(frozenset(firsts))
+            if len(firsts) <= max_start_tokens
+            else None
+        )
+        cands = gram_rows(
+            transcripts, max_tokens, bc_unigram=bc_unigram, bc_start_tokens=bc_starts
+        )
     matched = cands.join(
         variants.select("norm").distinct(), "norm", "left_semi"
     )

@@ -159,6 +159,15 @@ host (300-variant gazetteer, ~45-token turns), i.e. the distributed
 engine at local[16] runs ~10x one core — single-node parity is the
 floor, the cluster scaling above it is the point.
 
+Broadcast vs broadcast-free matcher (measured 2026-08-17, 200k turns,
+local[16] unpinned, min of 2; identical 78,140 mentions from both):
+broadcast-dict matcher 7.2s; relational fallback (gram_rows fused
+emission + first-token gate + left-semi gazetteer join + exact greedy
+resolve) 60.1s (8.4x); window-form variant 70.3s. The fallback exists
+for gazetteers PAST broadcast scale - at city scale the broadcast
+path wins and stays the default; the two paths are byte-identical and
+share the DuckDB matcher oracle (m1_relational_sql).
+
 Quality at scale (ad-hoc evidence, 2026-08-17): full pipeline on
 20,000-turn fixtures per event, scored against the independent
 brute-force gold annotator — triple-level P=R=F1=1.0000 for chennai,
