@@ -283,6 +283,41 @@ def m1_relational_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_e2e_relational_sql",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    {_SQL_LINK}
+    SELECT DISTINCT CAST(w.doc_id AS VARCHAR) || '#0' AS subj,
+           'mentionsLocation' AS pred, CAST(c.canonical AS VARCHAR) AS obj
+    FROM winners w JOIN canon c ON w.norm = c.norm
+    """,
+)
+def kg_e2e_relational_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL KG pipeline with the matcher swapped for the
+    broadcast-free relational path (M1rel → L1 → L2 → L3 → K1):
+    proves the whole flagship runs gazetteer-as-DataFrame end to end,
+    against the same DuckDB derivation as kg_e2e_sql."""
+    from lnex_spark.operators.extract_relational import extract_mentions_relational
+    from lnex_spark.operators.link import (
+        apply_canonical,
+        canonicalize,
+        link_mentions,
+        score_candidates,
+    )
+    from lnex_spark.operators.triples import mention_triples
+
+    variants = _oracle_variants(spark)
+    mentions = extract_mentions_relational(
+        _docs_as_transcripts(spark, sf_dir), variants, max_tokens=3
+    )
+    winners = score_candidates(link_mentions(mentions, variants, hint_broadcast=False))
+    final = apply_canonical(winners, canonicalize(winners))
+    return mention_triples(final).select(
+        "subj", "pred", F.col("obj").cast("string").alias("obj")
+    )
+
+
+@register(
     "variant_props_extract",
     """
     SELECT event_type,
