@@ -489,6 +489,34 @@ def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_sanity",
+    """
+    SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+           true AS approx_within_1pct
+    FROM orders
+    """,
+)
+def approx_percentile_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch sanity (same pattern as approx_distinct_sanity):
+    approx_percentile (accuracy 10000 → rank error ≤ 0.01%) must land
+    within 1% of the exact interpolated quantile on both p50 and p95;
+    the checked values are the exact quantiles + the tolerance
+    predicate."""
+    o = _t(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.95))")
+    approx = F.expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+    return o.agg(
+        F.round(exact.getItem(0), 2).alias("p50_exact"),
+        F.round(exact.getItem(1), 2).alias("p95_exact"),
+        (
+            (F.abs(approx.getItem(0) - exact.getItem(0)) <= 0.01 * exact.getItem(0))
+            & (F.abs(approx.getItem(1) - exact.getItem(1)) <= 0.01 * exact.getItem(1))
+        ).alias("approx_within_1pct"),
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
