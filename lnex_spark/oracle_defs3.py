@@ -1,7 +1,19 @@
-"""Third oracle-registry module (round-1 continuation): graph-layer
-operators — transitive dedup clustering via distributed connected
-components, the location co-mention graph over the SQL-verified KG
-pipeline — plus relational coverage for unpivot/melt.
+"""Third oracle-registry module (round-1 continuation).
+
+Contents:
+  * graph layer — transitive dedup clustering via distributed
+    connected components (dedup_components), the location co-mention
+    graph (kg_comention), 3-iteration PageRank over it (kg_pagerank);
+  * the broadcast-free matcher and the FULL KG pipeline on it
+    (m1_relational_sql, kg_e2e_relational_sql);
+  * the custom Python Data Source (source_synth_transcripts) and the
+    stream-stream join's batch twin (response_latency_pairs);
+  * UDF-surface coverage — Python UDTF (udtf_shingles), grouped-agg
+    pandas UDF (gmean_grouped_udf);
+  * relational/semi-structured coverage — unpivot/melt, correlated
+    LATERAL top-k, correlated scalar (Q17) and EXISTS (Q4)
+    subqueries, VARIANT extraction, FULL OUTER join, quantile-sketch
+    sanity.
 
 The connected-components oracle is the interesting one: the Spark side
 is a genuinely iterative min-label-propagation job
@@ -441,15 +453,17 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gmean_grouped_udf",
     """
     SELECT event_type, round(exp(avg(ln(value))), 6) AS gmean
-    FROM events GROUP BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type
     """,
 )
 def gmean_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (vectorized UDAF): geometric mean
-    of event values per type, oracle exp(avg(ln(x)))."""
+    of event values per type, oracle exp(avg(ln(x))). Zero values are
+    excluded on both sides — gmean is undefined at 0 (sf0.1 has one;
+    found by the multi-scale sweep)."""
     from lnex_spark.operators.udtfs import gmean_udf
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").where(F.col("value") > 0)
     return e.groupBy("event_type").agg(
         F.round(gmean_udf("value"), 6).alias("gmean")
     )
