@@ -531,6 +531,52 @@ def approx_percentile_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_orders_agg",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE coverage (rollup/grouping-sets' sibling): all 2^2 grouping
+    combinations over order priority × status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "sample_deterministic",
+    """
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 13107
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~20% corpus sampling — the training-data idiom for
+    deterministic subsetting across engines and reruns: keep rows
+    whose md5(doc_id) 16-bit prefix falls under 0.2·2^16 (13107).
+    ``df.sample(seed=)`` is engine-private RNG and NOT reproducible
+    outside Spark; content-hash gating is."""
+    d = _t(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    return d.where(gate.cast("long") < 13107).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
