@@ -12,8 +12,8 @@ Contents:
     pandas UDF (gmean_grouped_udf);
   * relational/semi-structured coverage — unpivot/melt, correlated
     LATERAL top-k, correlated scalar (Q17) and EXISTS (Q4)
-    subqueries, VARIANT extraction, FULL OUTER join, quantile-sketch
-    sanity.
+    subqueries, VARIANT extraction, FULL OUTER join, CUBE,
+    quantile-sketch sanity, deterministic md5-gated corpus sampling.
 
 The connected-components oracle is the interesting one: the Spark side
 is a genuinely iterative min-label-propagation job
