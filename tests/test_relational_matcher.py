@@ -65,6 +65,54 @@ def test_relational_no_broadcast_of_gazetteer(spark, fixture_data):
     assert "LeftSemi" in plan
 
 
+def test_fuzz_differential_random_texts(spark):
+    """300 adversarial random texts (punctuation, hashtags, URLs,
+    @mentions, numbers, overlap-bait names) + a random gazetteer:
+    both matcher paths must agree exactly."""
+    import random
+
+    rng = random.Random(4242)
+    vocab = "adyar river guindy lake park north new old beach road x7 42".split()
+    extras = ["#adyarriver", "#lakepark", "@user", "http://x.io/a", ",", ".", "!", "--"]
+    names = set()
+    while len(names) < 25:
+        n = rng.randint(1, 3)
+        names.add(" ".join(rng.sample(vocab, n)))
+    rows = []
+    for i in range(300):
+        k = rng.randint(0, 18)
+        words = [rng.choice(vocab + extras) for _ in range(k)]
+        rows.append((f"c{i}", 0, "user", " ".join(words), None, None))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    variants = spark.createDataFrame(
+        [(n, i + 1, 1, "poi", 13.0, 80.0, "r", 3) for i, n in enumerate(sorted(names))],
+        "norm string, geo_id long, match_type int, category string, "
+        "lat double, lon double, region string, cat_priority int",
+    )
+    unigram = spark.createDataFrame(
+        [(w, 5) for w in vocab], "token string, freq long"
+    )
+
+    from lnex_spark.gazetteer.build import build_match_struct
+
+    bc = build_match_struct(spark, variants, unigram)
+    bc_uni = spark.sparkContext.broadcast(bc.value.unigram)
+    got_b = sorted(map(tuple, extract_mentions_df(t, bc).collect()))
+    got_r = sorted(
+        map(
+            tuple,
+            extract_mentions_relational(
+                t, variants, max_tokens=bc.value.max_tokens, bc_unigram=bc_uni
+            ).collect(),
+        )
+    )
+    assert got_b == got_r
+    assert len(got_b) > 100  # the fuzz actually generates matches
+
+
 def test_segments_block_ngrams_across_breaks(spark):
     tokens = tokenize_relational(
         spark.createDataFrame(
