@@ -24,11 +24,15 @@ def _iceberg_available(spark: SparkSession) -> bool:
     return any(k.startswith("spark.sql.catalog.") and "iceberg" in v.lower() for k, v in confs)
 
 
-def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
-    """Read a table by parquet path (local/sandbox) or catalog name
-    (Iceberg cluster)."""
-    if "/" in path_or_table or path_or_table.endswith(".parquet"):
-        return spark.read.parquet(path_or_table)
+def read_table(
+    spark: SparkSession, path_or_table: str, data_format: str = "parquet"
+) -> DataFrame:
+    """Read a table by file path (local/sandbox) or catalog name
+    (Iceberg cluster). ``data_format`` selects the file codec for
+    path reads — parquet (default) or orc, both columnar with
+    predicate pushdown + partition pruning."""
+    if "/" in path_or_table or path_or_table.endswith((".parquet", ".orc")):
+        return spark.read.format(data_format).load(path_or_table)
     return spark.read.table(path_or_table)
 
 
@@ -37,6 +41,7 @@ def write_table(
     path_or_table: str,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    data_format: str = "parquet",
 ) -> None:
     spark = df.sparkSession
     if "/" not in path_or_table and _iceberg_available(spark):
@@ -53,4 +58,4 @@ def write_table(
     w = df.write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(path_or_table)
+    w.format(data_format).save(path_or_table)
