@@ -44,6 +44,9 @@ CHECKS = {
     # co-mention pairs are unrolled array-side from collect_set —
     # NO self-join anywhere in the plan
     "comention": dict(want=["HashAggregate", "Generate"], forbid=["Join"]),
+    # broadcast-free matcher: a REAL join against the gazetteer
+    # (any strategy Catalyst picks) + the two Python islands
+    "m1rel": dict(want=["Join", "MapInPandas", "FlatMapGroupsInPandas"]),
 }
 
 
@@ -123,6 +126,10 @@ def main() -> None:
         "subj string, pred string, obj long",
     )
     plans["comention"] = grab(comention_edges(triples))
+
+    from lnex_spark.operators.extract_relational import extract_mentions_relational
+
+    plans["m1rel"] = grab(extract_mentions_relational(t, model.variants))
 
     import re
 
