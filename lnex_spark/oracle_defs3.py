@@ -577,6 +577,34 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_funcs_events",
+    """
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ) WHERE n >= 3
+    """,
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface: per-user counts packed into a
+    map<event_type, n> (map_from_entries), thresholded map-side with a
+    map_filter lambda, then unpacked via explode(map_entries) — the
+    relational twin is a plain HAVING. Exercises the MapType column
+    path the engine otherwise never touches."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    filtered = mapped.select(
+        "user_id", F.map_filter("m", lambda _k, v: v >= 3).alias("m")
+    )
+    return filtered.select(
+        "user_id", F.explode(F.map_entries("m")).alias("kv")
+    ).select("user_id", F.col("kv.key").alias("event_type"), F.col("kv.value").alias("n"))
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
