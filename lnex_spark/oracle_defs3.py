@@ -605,6 +605,56 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_roundtrip_events",
+    """
+    SELECT event_type, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 XML surface: pack each event's (type, k) into an XML
+    string, parse it back with from_xml, aggregate the PARSED values —
+    equal to aggregating the source directly (DuckDB side). Proves the
+    XML path loses nothing, without needing XML in the oracle engine."""
+    e = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k></e>"),
+    )
+    parsed = e.select(F.from_xml(xml, "t STRING, k LONG").alias("p"))
+    return parsed.groupBy(F.col("p.t").alias("event_type")).agg(
+        F.sum("p.k").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "try_arithmetic_orders",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                          ELSE o_totalprice / (o_custkey % 3) END), 2) AS safe_ratio,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety surface: try_divide yields NULL on division by zero
+    instead of failing the job — the divisor (custkey mod 3) is zero on
+    a third of real rows, so the guard is exercised throughout; oracle
+    is the explicit CASE."""
+    o = _t(spark, sf_dir, "orders")
+    div = F.col("o_custkey") % 3
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.try_divide(F.col("o_totalprice"), div)), 2).alias("safe_ratio"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_brand, metric, count(*) AS n, round(sum(val), 2) AS total
