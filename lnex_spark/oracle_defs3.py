@@ -330,6 +330,31 @@ def kg_e2e_relational_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_votes_merge",
+    f"""
+    WITH {_SQL_TOKENIZE},
+    {_SQL_LINK}
+    SELECT norm, geo_id, count(*) AS votes
+    FROM winners GROUP BY norm, geo_id
+    """,
+)
+def incremental_votes_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance (operators/incremental.py): L2
+    winners split into two batches (even/odd doc_id), vote tables
+    merged — must equal DuckDB's direct whole-corpus vote count (the
+    associativity the incremental design rests on)."""
+    from lnex_spark.operators.incremental import batch_votes, merge_votes
+    from lnex_spark.operators.link import link_mentions, score_candidates
+
+    variants = _oracle_variants(spark)
+    winners = score_candidates(link_mentions(_oracle_mentions(spark, sf_dir), variants))
+    even = winners.where(F.col("conv_id").cast("long") % 2 == 0)
+    odd = winners.where(F.col("conv_id").cast("long") % 2 == 1)
+    merged = merge_votes(batch_votes(even), batch_votes(odd))
+    return merged.select("norm", "geo_id", "votes")
+
+
+@register(
     "variant_props_extract",
     """
     SELECT event_type,
