@@ -1,0 +1,107 @@
+"""Semantic invariants for the curation operators
+(operators/curation.py).  Value-level equality vs DuckDB lives in the
+oracle harness; these pin behavior on hand-checkable inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lnex_spark.operators.curation import (
+    class_weights,
+    contamination,
+    pii_scrub,
+    quality_funnel,
+    split_assign,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+
+def test_split_is_deterministic_and_proportional(ids):
+    a = {r.doc_id: r.split for r in split_assign(ids).collect()}
+    b = {r.doc_id: r.split for r in split_assign(ids.repartition(7)).collect()}
+    assert a == b  # invariant under partitioning / rerun
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    frac_val = sum(1 for v in a.values() if v == "val") / n
+    assert frac_train == pytest.approx(0.8, abs=0.05)
+    assert frac_val == pytest.approx(0.1, abs=0.03)
+
+
+def test_split_is_stable_under_corpus_growth(spark, ids):
+    small = {r.doc_id: r.split for r in split_assign(ids.filter("doc_id < 500")).collect()}
+    big = {r.doc_id: r.split for r in split_assign(ids).collect()}
+    assert all(big[k] == v for k, v in small.items())  # no reassignment
+
+
+def test_split_salt_changes_assignment(ids):
+    a = {r.doc_id: r.split for r in split_assign(ids, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in split_assign(ids, salt="s2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_class_weights_balanced_is_one(spark):
+    df = spark.createDataFrame([(i, i % 4) for i in range(400)], "id long, label int")
+    w = {r.label: r.weight for r in class_weights(df).collect()}
+    assert all(v == pytest.approx(1.0) for v in w.values())
+
+
+def test_class_weights_inverse_frequency(spark):
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(90)] + [(i, 1) for i in range(10)], "id long, label int"
+    )
+    w = {r.label: r.weight for r in class_weights(df).collect()}
+    assert w[1] == pytest.approx(9 * w[0])  # rare class weighted up 9x
+
+
+def test_pii_scrub_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "call +44 (20) 7946-0958 today"),
+            (2, "host 192.168.10.255 down"),
+            (3, "clean text stays clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.scrubbed for r in pii_scrub(df).collect()}
+    assert out[0] == "mail <email> now"
+    assert out[1] == "call <phone> today"
+    assert out[2] == "host <ip> down"
+    assert out[3] == "clean text stays clean"
+
+
+def test_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [(0, "one two three four five six seven")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [
+            # shares the 5-grams starting at 'one' / 'two' / 'three'
+            (10, "one two three four five six seven"),
+            (11, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.n_hit, r.contaminated) for r in contamination(train, bench).collect()}
+    assert out[10] == (3, 3, True)
+    assert out[11] == (2, 0, False)
+
+
+def test_quality_funnel_attribution(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "solid document with plenty of words inside it"),
+            (1, "solid document with plenty of words inside it"),  # dup of 0
+            (2, "tiny"),  # too_short
+            (3, "a! b! c! d! e! f!"),  # high_punct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.reason: r.n for r in quality_funnel(df).collect()}
+    assert out == {"kept": 1, "dup_fingerprint": 1, "too_short": 1, "high_punct": 1}
