@@ -105,3 +105,16 @@ def test_quality_funnel_attribution(spark):
     )
     out = {r.reason: r.n for r in quality_funnel(df).collect()}
     assert out == {"kept": 1, "dup_fingerprint": 1, "too_short": 1, "high_punct": 1}
+
+
+def test_oracle_registry_batches5_6_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {
+        "split_assign_docs", "class_weights_embeddings", "pii_scrub_docs",
+        "contamination_check", "quality_funnel_docs",
+        "merge_upsert_turns", "moving_avg_orders", "nth_value_orders",
+        "nullsafe_join_events", "seq_zip_parts",
+    }
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())  # all fully SQL-verified
