@@ -160,6 +160,7 @@ def run_resumable(
     buckets_per_batch: int = 4,
     fail_after_batches: int | None = None,
     salt_partitions: int | None = None,
+    dedup_texts: bool = False,
 ) -> list[int]:
     """X3 stage 1: checkpoint-resumable extraction over conv_id buckets.
 
@@ -199,7 +200,12 @@ def run_resumable(
             )
             if salt_partitions:
                 t = salt_repartition(t, salt_partitions)
-            mentions = extract_mentions_df(t, model.bc_struct)
+            if dedup_texts:
+                from lnex_spark.operators.extract import extract_mentions_dedup_df
+
+                mentions = extract_mentions_dedup_df(t, model.bc_struct)
+            else:
+                mentions = extract_mentions_df(t, model.bc_struct)
             winners = score_candidates(link_mentions(mentions, model.variants))
             winners = winners.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")

@@ -118,3 +118,14 @@ def test_oracle_registry_batches5_6_complete():
     }
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())  # all fully SQL-verified
+
+
+def test_oracle_registry_batch7_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {
+        "token_entropy_by_lang", "zipf_slope_docs", "ks_drift_events",
+        "chi2_type_user", "label_balance_by_split",
+    }
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())
