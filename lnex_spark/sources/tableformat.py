@@ -59,3 +59,93 @@ def write_table(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.format(data_format).save(path_or_table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    data_format: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite ``path`` into
+    ceil(rows / target_rows_per_file) files. Returns the new file count.
+
+    The streaming/micro-batch sinks and per-bucket resumable writes
+    accumulate many small files; scan planning then pays per-file
+    overhead and loses large sequential reads. On an Iceberg cluster
+    this is ``CALL rewrite_data_files`` (transactional); the seam's
+    local stand-in rewrites to a temp dir and swaps, so a reader never
+    sees a half-compacted table directory.
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.format(data_format).load(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / max(target_rows_per_file, 1)))
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").format(data_format).save(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
+def write_snapshot(
+    df: DataFrame,
+    base: str,
+    partition_cols: list[str] | None = None,
+    data_format: str = "parquet",
+) -> int:
+    """Append a new immutable snapshot version under ``base`` and move
+    the latest-pointer to it. Returns the new version number.
+
+    Local stand-in for Iceberg's snapshot log: each write lands in
+    ``base/v=N`` (never mutated afterwards), ``base/_latest`` names the
+    current version, and old versions stay readable — giving
+    time-travel (``read_snapshot(..., version=k)``) and instant
+    rollback (rewrite the pointer) without a table-format runtime.
+    """
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    w = df.write.mode("errorifexists")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.format(data_format).save(f"{base}/v={v}")
+    tmp = f"{base}/_latest.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, f"{base}/_latest")  # atomic pointer move
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession,
+    base: str,
+    version: int | None = None,
+    data_format: str = "parquet",
+) -> DataFrame:
+    """Read a snapshot table at ``version`` (default: latest)."""
+    if version is None:
+        with open(f"{base}/_latest") as f:
+            version = int(f.read().strip())
+    return spark.read.format(data_format).load(f"{base}/v={version}")
+
+
+def rollback_snapshot(base: str, version: int) -> None:
+    """Point the table back at an earlier snapshot (metadata-only)."""
+    import os
+
+    if not os.path.isdir(f"{base}/v={version}"):
+        raise ValueError(f"snapshot v={version} does not exist under {base}")
+    tmp = f"{base}/_latest.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{base}/_latest")
