@@ -137,3 +137,11 @@ def test_oracle_registry_batch8_complete():
     keys = {"recursive_cte_ancestors", "groupby_all_orders", "decimal_money_agg", "ilike_parts"}
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())
+
+
+def test_oracle_registry_batch9_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {"kg_ambiguity_report", "geo_grid_cells"}
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())
