@@ -37,3 +37,40 @@ def turn_order(df: DataFrame) -> DataFrame:
     contract under which per-turn text equality vs the reference holds."""
     w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
     return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def suggest_salt_partitions(
+    df: DataFrame,
+    target_parallelism: int,
+    max_rows_per_task_factor: float = 1.5,
+    sample_fraction: float | None = None,
+) -> int | None:
+    """Probe the conv_id distribution and decide whether (and how wide)
+    to salt before the extraction stage.
+
+    Returns None when the corpus is balanced enough that the hottest
+    conversation fits in ~max_rows_per_task_factor x the mean task
+    load at ``target_parallelism`` — salting then only buys an extra
+    shuffle. Otherwise returns a partition count sized so even the
+    hottest key spreads thin: the driver-side cost is ONE tiny
+    aggregation (top-1 conv share), optionally over a deterministic
+    sample for very large inputs. The decision is made from data, not
+    configuration — the same job self-tunes from a uniform corpus to
+    one where a single agent conversation holds 20% of all turns.
+    """
+    probe = df
+    if sample_fraction:
+        gate = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(1_000_000))
+        probe = df.filter(gate < int(sample_fraction * 1_000_000))
+    stats = (
+        probe.groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("hot"), F.sum("n").alias("total"))
+        .first()
+    )
+    if not stats or not stats.total:
+        return None
+    mean_task = stats.total / target_parallelism
+    if stats.hot <= max_rows_per_task_factor * mean_task:
+        return None
+    return target_parallelism

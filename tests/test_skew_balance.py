@@ -48,3 +48,28 @@ def test_salting_preserves_rows_exactly(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, salt_repartition(df, 5).collect()))
     assert a == b
+
+
+def test_suggest_salt_detects_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from lnex_spark.operators.skew import suggest_salt_partitions
+
+    # balanced corpus: 100 convs x 10 turns → no salting suggested
+    balanced = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 100)).alias("conv_id"),
+        (F.col("id") / 100).cast("int").alias("turn_idx"),
+    )
+    assert suggest_salt_partitions(balanced, target_parallelism=8) is None
+
+    # skewed corpus: one conversation holds half of all turns
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 500, "hot")
+        .otherwise(F.concat(F.lit("c"), F.col("id") % 50))
+        .alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+    )
+    assert suggest_salt_partitions(skewed, target_parallelism=8) == 8
+
+    # deterministic sampling probe agrees on the obvious skew
+    assert suggest_salt_partitions(skewed, 8, sample_fraction=0.5) == 8
