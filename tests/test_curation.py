@@ -145,3 +145,11 @@ def test_oracle_registry_batch9_complete():
     keys = {"kg_ambiguity_report", "geo_grid_cells"}
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())
+
+
+def test_oracle_registry_batch10_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {"filter_clause_orders", "percentile_disc_prices", "regr_price_qty"}
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())
