@@ -84,3 +84,37 @@ def test_hr_mode_superset(spark, fixture_data):
     assert hp_set <= hr_set
     assert ("adyar nagar", 1) in hr_set and ("adyar nagar", 1) not in hp_set
     assert ("guindy saidapet road", 2) in hr_set and ("guindy saidapet road", 2) not in hp_set
+
+
+def test_single_pass_multi_region(spark):
+    """ONE pipeline pass over a UNION gazetteer of all three events and
+    the concatenated corpora — the planet-scale deployment shape (one
+    extraction job, region-tagged gazetteer, no per-region re-scan of
+    the transcript table). Quality must hold corpus-wide: conv_ids are
+    event-prefixed so the gold sets concatenate cleanly."""
+    stop = FX.gen_stopwords()
+    wl = FX.gen_wordlist()
+    all_gaz, all_turns, all_gold = [], [], []
+    for event in ("chennai", "louisiana", "houston"):
+        gaz = FX.gen_gazetteer(event)
+        transcripts = FX.gen_transcripts(event, n_convs=8, n_turns=150, gazetteer=gaz)
+        all_gold += FX.gold_annotations(transcripts, gaz, set(stop), wl)
+        all_gaz += gaz
+        all_turns += transcripts
+    m, r = run_pipeline(
+        spark,
+        to_spark_transcripts(spark, all_turns),
+        to_spark_gaz(spark, all_gaz),
+        to_spark_stopwords(spark, stop),
+        to_spark_wordlist(spark, wl),
+        bbox=None,  # no region scoping: the union gazetteer IS the scope
+    )
+    gold_df = spark.createDataFrame(
+        all_gold,
+        "conv_id string, turn_idx int, start int, end int, surface string, geo_id long",
+    )
+    pr = precision_recall(m, gold_triples(gold_df))
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
+    # region triples carry all three regions
+    regions = {row.obj for row in r.select("obj").distinct().collect()}
+    assert regions == {"chennai", "louisiana", "houston"}
