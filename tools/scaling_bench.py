@@ -173,6 +173,22 @@ Quality at scale (ad-hoc evidence, 2026-08-17): full pipeline on
 brute-force gold annotator — triple-level P=R=F1=1.0000 for chennai,
 louisiana, and houston (target >= 0.95; the 3k-turn pytest gate
 asserts the same bound every run).
+
+Matcher-core alternatives evaluated (2026-08-17, 80k fixture texts,
+one core, min-of-3): token-trie growth (dict-of-dicts, no per-step
+string join/set probe) 55.1k texts/s vs the current prefix-set
+n-gram growth 50.0k texts/s — only 1.10x because build_token_stream
+(the regex tokenizer) dominates the island, not the dictionary
+probes. Rejected: +10% does not buy the added tiebreak-semantics
+risk in hashtag-group spans. An Aho-Corasick C automaton
+(pyahocorasick) remains the documented upgrade path for planet-scale
+gazetteers where the probe count, not tokenization, dominates.
+Winners-persist A/B (2026-08-17): lazy vs eager .count()
+materialization measured at 200k/local[32] and 2M/local[16] pinned —
+differences inside host noise (the same pinned 2M job measured 6.96s
+in a clean window and ~15s in a loaded one, confirming the bursty
+one-sided noise model above); lazy kept (one job, BlockManager
+per-partition locking already computes the extraction once).
 """
     )
     print(f"wrote {bench_md}")
