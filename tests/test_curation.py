@@ -153,3 +153,14 @@ def test_oracle_registry_batch10_complete():
     keys = {"filter_clause_orders", "percentile_disc_prices", "regr_price_qty"}
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())
+
+
+def test_oracle_registry_batch11_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {
+        "explode_outer_longtoks", "try_timestamp_events",
+        "scalar_funcs_lineitem", "union_byname_mixed",
+    }
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())
