@@ -164,3 +164,11 @@ def test_oracle_registry_batch11_complete():
     }
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())
+
+
+def test_oracle_registry_batch12_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {"label_centroids", "vector_norms"}
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())
