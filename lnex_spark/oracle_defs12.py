@@ -59,3 +59,33 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
     return emb.select("vec_id", F.round(F.sqrt(sq_sum), 6).alias("l2_norm"))
+
+
+# --- stratified deterministic sampling ----------------------------------
+@register(
+    "stratified_sample_docs",
+    """
+    WITH gated AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('strat-v1#' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM gated
+    WHERE bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 13107 ELSE 6554 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (en 50%, de 20%, rest 10%):
+    the language-rebalancing subset step of corpus assembly, as md5
+    gating so the sample is reproducible across engines and reruns —
+    ``df.sampleBy`` is engine-private RNG and is not."""
+    from lnex_spark.operators.curation import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), "strat-v1")
+    rate = (
+        F.when(F.col("lang") == "en", 32768)
+        .when(F.col("lang") == "de", 13107)
+        .otherwise(6554)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")

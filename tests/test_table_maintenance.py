@@ -55,3 +55,17 @@ def test_snapshot_append_time_travel_and_rollback(spark, tmp_path):
 
     with pytest.raises(ValueError):
         rollback_snapshot(base, 99)
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    """Write-path codec coverage: zstd (best ratio for cold archives)
+    and snappy (default, fastest scans) both round-trip; the codec is
+    a per-write option, invisible to readers."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).withColumn("v", F.col("id") * 3)
+    rows = sorted((r.id, r.v) for r in df.collect())
+    for codec in ("zstd", "snappy"):
+        path = str(tmp_path / f"codec_{codec}")
+        df.write.option("compression", codec).parquet(path)
+        assert sorted((r.id, r.v) for r in spark.read.parquet(path).collect()) == rows
