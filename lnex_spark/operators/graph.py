@@ -179,3 +179,45 @@ def comention_edges(
         .groupBy(F.col("p.geo_a").alias("geo_a"), F.col("p.geo_b").alias("geo_b"))
         .agg(F.count("*").alias("n_convs"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA).
+
+    Seed: every node its own label. Each round, every node adopts its
+    neighbors' most frequent label (ties → smallest label); isolated
+    rounds keep the current label. A FIXED iteration count with fully
+    deterministic tie-breaking makes the result exactly reproducible —
+    the property the DuckDB oracle (unrolled iterations) checks — at
+    the cost of the usual LPA caveat that synchronous updates may
+    oscillate rather than converge; fixed-round LPA is the streaming/
+    batch-friendly form.
+
+    Per round: one join (edges x labels, co-partitioned on the edge
+    key) + two hash aggs — same shuffle shape as connected_components
+    but bounded rounds instead of a fixpoint loop, so lineage stays
+    shallow without checkpoints.
+    """
+    und = undirect(edges, src, dst)
+    n_part = und.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    und = und.repartition(int(n_part), "a").persist()
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        msgs = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        counts = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        # most frequent neighbor label, smallest label on ties — an
+        # orderable-struct max_by (partial-aggregating, no window)
+        labels = counts.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("c"), -F.col("label"))).alias("label")
+        )
+    und.unpersist()
+    return labels

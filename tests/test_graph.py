@@ -134,3 +134,29 @@ def test_comention_max_geos_guard(spark):
     out = comention_edges(triples, max_geos_per_conv=5)
     got = {(r.geo_a, r.geo_b) for r in out.collect()}
     assert got == {(1, 2)}  # the 10-geo conversation is capped out
+
+
+def test_label_propagation_two_cliques(spark):
+    from lnex_spark.operators.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13}: LPA must give each clique one
+    # community and never merge them (no bridge edge)
+    cl = lambda base: [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(cl(0) + cl(10), "doc_a long, doc_b long")
+    out = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    assert len({out[n] for n in range(4)}) == 1
+    assert len({out[n] for n in range(10, 14)}) == 1
+    assert out[0] != out[10]
+
+
+def test_label_propagation_deterministic_across_parallelism(spark):
+    from pyspark.sql import functions as F
+
+    from lnex_spark.operators.graph import label_propagation
+
+    edges = spark.range(60).select(
+        (F.col("id") % 30).alias("doc_a"), ((F.col("id") * 7 + 3) % 30).alias("doc_b")
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    a = sorted(map(tuple, label_propagation(edges, 3).collect()))
+    b = sorted(map(tuple, label_propagation(edges.repartition(13), 3).collect()))
+    assert a == b
