@@ -172,3 +172,16 @@ def test_oracle_registry_batch12_complete():
     keys = {"label_centroids", "vector_norms"}
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())
+
+
+def test_oracle_registry_batch13_complete():
+    from lnex_spark.oracles import duckdb_sql, spark_queries
+
+    keys = {
+        "zscore_outliers_events", "funnel_conversion_events",
+        "retention_cohorts_events", "ewma_values_events",
+        "lpa_communities_events", "stratified_sample_docs",
+        "label_centroids", "vector_norms",
+    }
+    assert keys <= set(spark_queries())
+    assert keys <= set(duckdb_sql())
