@@ -176,3 +176,39 @@ def ewma_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum(F.col("value") * wgt).over(w2) / F.sum(wgt).over(w2), 6).alias("ewma"),
     )
+
+
+# --- grouping_id over ROLLUP ---------------------------------------------
+@register(
+    "grouping_id_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS prio,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping()-derived level ids — the aggregation-level
+    discriminator a report needs to tell subtotal rows from data rows
+    (NULL-valued keys alone are ambiguous when the data itself has
+    NULLs)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
