@@ -212,3 +212,73 @@ def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --- string-function scalar coverage --------------------------------------
+@register(
+    "string_funcs_parts",
+    """
+    SELECT p_partkey,
+           reverse(p_name) AS rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           repeat(p_brand, 2) AS doubled,
+           translate(p_name, 'aeiou', '     ') AS devoweled,
+           instr(p_name, ' ') AS first_space,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.translate("p_name", "aeiou", "     ").alias("devoweled"),
+        F.instr("p_name", " ").alias("first_space"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.substring(F.col("p_name"), -3, 3).alias("r3"),
+    )
+
+
+# --- array set operations ---------------------------------------------------
+@register(
+    "array_setops_docs",
+    r"""
+    WITH pairs AS (
+      SELECT a.doc_id,
+             list_distinct(string_split_regex(lower(trim(a.text)), '\s+')) AS ta,
+             list_distinct(string_split_regex(lower(trim(b.text)), '\s+')) AS tb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 100
+    )
+    SELECT doc_id,
+           list_sort(list_intersect(ta, tb)) AS common,
+           len(list_intersect(ta, tb)) AS n_common,
+           len(list_filter(ta, t -> NOT list_contains(tb, t))) AS n_only_a
+    FROM pairs
+    """,
+)
+def array_setops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_intersect/except over adjacent-doc token sets — the
+    columnar form of pairwise overlap (vs the exploded-join form the
+    dedup ops use): no explode, no shuffle, pure codegen per row."""
+    d = _t(spark, sf_dir, "documents")
+    toks = lambda c: F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).where(
+        F.col("a.doc_id") < 100
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        toks(F.col("a.text")).alias("ta"),
+        toks(F.col("b.text")).alias("tb"),
+    )
+    inter = F.array_intersect("ta", "tb")
+    return pairs.select(
+        "doc_id",
+        F.array_sort(inter).alias("common"),
+        F.size(inter).alias("n_common"),
+        F.size(F.array_except("ta", "tb")).alias("n_only_a"),
+    )
