@@ -282,3 +282,53 @@ def array_setops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(inter).alias("n_common"),
         F.size(F.array_except("ta", "tb")).alias("n_only_a"),
     )
+
+
+# --- quantile-boundary feature binning -------------------------------------
+@register(
+    "quantile_binning_orders",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice < b.q1 THEN 'q1'
+                WHEN o_totalprice < b.q2 THEN 'q2'
+                WHEN o_totalprice < b.q3 THEN 'q3'
+                ELSE 'q4' END AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def quantile_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: exact interpolated quartile boundaries
+    computed once (1-row broadcast), then a pure CASE projection bins
+    every row — the standard numeric-feature bucketizer, with the
+    boundary table broadcast instead of QuantileDiscretizer's
+    approximate sketch so the DuckDB oracle can agree exactly."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    bin_ = (
+        F.when(F.col("o_totalprice") < F.col("q1"), "q1")
+        .when(F.col("o_totalprice") < F.col("q2"), "q2")
+        .when(F.col("o_totalprice") < F.col("q3"), "q3")
+        .otherwise("q4")
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
