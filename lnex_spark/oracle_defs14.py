@@ -112,3 +112,53 @@ def conv_profile_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("turn_idx").alias("first_turn"),
         F.max("turn_idx").alias("last_turn"),
     )
+
+
+# --- rank / dense_rank / percent-of-total --------------------------------
+@register(
+    "rank_share_orders",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           revenue,
+           rank() OVER (ORDER BY revenue DESC) AS rnk,
+           dense_rank() OVER (ORDER BY revenue DESC) AS drnk,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM c
+    """,
+)
+def rank_share_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy(F.desc("revenue"))
+    wall = Window.partitionBy()
+    return c.select(
+        "o_orderpriority",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wall), 6).alias("share"),
+    )
+
+
+# --- boolean aggregates ----------------------------------------------------
+@register(
+    "bool_agg_orders",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_final,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bool_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.count("*").alias("n"),
+    )
