@@ -1,0 +1,130 @@
+"""Runtime-optimization evidence: the three Catalyst/AQE mechanisms a
+100 TB deployment leans on beyond static planning, each pinned with a
+plan assertion AND a result-equality check so config drift can't
+silently disable them:
+
+  * AQE skew-join splitting — the long-tail conv_id skew story (§2A
+    X2) for JOINS: a hot key's shuffle partition is split into
+    multiple tasks (SortMergeJoin(skew=true) + "AQEShuffleRead ...
+    skewed" in the final adaptive plan).
+  * Runtime bloom-filter join — the selective-dim filter is hashed
+    into a bloom filter and pushed into the fact-side scan as
+    might_contain(...), cutting shuffle volume before the join (the
+    non-broadcast analog of DPP for non-partition keys).
+  * WindowGroupLimit — rank()/row_number() <= k predicates execute as
+    a per-group top-k pushdown instead of a full sort of every group
+    (the L2 candidate-scoring shape at gazetteer scale).
+
+Thresholds are lowered to make the mechanisms fire on test-sized data;
+the assertions target plan markers, not timings, so they are stable.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import contextmanager, redirect_stdout
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _confs(spark, **kv):
+    old = {}
+    try:
+        for k, v in kv.items():
+            key = k.replace("__", ".")
+            old[key] = spark.conf.get(key, None)
+            spark.conf.set(key, v)
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_aqe_skew_join_split(spark):
+    with _confs(
+        spark,
+        **{
+            "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "64KB",
+            "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2",
+            "spark__sql__adaptive__advisoryPartitionSizeInBytes": "32KB",
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__shuffle__partitions": "8",
+        },
+    ):
+        big = spark.range(0, 220000).select(
+            F.when(F.col("id") < 200000, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 100).withColumnRenamed("id", "k2")
+        j = big.join(dim, big.k == dim.k2, "inner")
+        rows = j.count()
+        assert rows == 220000
+        # count() and collect() share the cached join stage; re-run the
+        # exact DataFrame so its own adaptive plan finalizes
+        j.collect()
+        plan = _explain(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead ... skewed
+
+
+def test_runtime_bloom_filter(spark, tmp_path):
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 300000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).write.parquet(fact_p)
+    spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("tag")
+    ).write.parquet(dim_p)
+
+    def query():
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(F.col("tag") == 3)
+        return fact.join(dim, "k")
+
+    with _confs(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "1KB",
+        },
+    ):
+        j = query()
+        logical = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in logical, logical
+        assert "bloom_filter_agg" in logical, logical
+        with_bloom = sorted((r.k, r.tag) for r in j.collect())
+
+    with _confs(spark, **{"spark__sql__optimizer__runtime__bloomFilter__enabled": "false"}):
+        without = sorted((r.k, r.tag) for r in query().collect())
+
+    assert with_bloom == without
+    assert len(with_bloom) == sum(1 for i in range(10000) if i % 17 == 3)
+
+
+def test_window_group_limit(spark):
+    df = spark.range(0, 50000).select(
+        (F.col("id") % 100).alias("g"),
+        F.col("id").alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    topk = df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    plan = _explain(topk)
+    assert "WindowGroupLimit" in plan, plan
+    got = topk.groupBy("g").agg(F.max("v").alias("mx"), F.count("*").alias("n")).collect()
+    assert all(r.n == 3 for r in got)
+    expect_max = {g: max(v for v in range(50000) if v % 100 == g) for g in range(100)}
+    assert {r.g: r.mx for r in got} == expect_max
