@@ -29,12 +29,15 @@ from pyspark.sql import functions as F
 
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
 
-# min-of-N per query (N=2 default): rep 1 pays one-time costs a
+# min-of-N per query (N=3 default): rep 1 pays one-time costs a
 # long-lived cluster amortizes (codegen JIT, broadcast ship, page-cache
-# fill); rep 2 measures the engine. Caches are reset between reps for
-# the queries where Spark's cache manager would otherwise serve the
-# identical plan from cache.
-DEFAULT_REPEAT = "2"
+# fill); later reps measure the engine. Three reps because this host's
+# external noise is bursty and one-sided (measured 3x swings with zero
+# local CPU consumers) — the min of three captures the floor the
+# engine actually has. Caches are reset between reps for the queries
+# where Spark's cache manager would otherwise serve the identical plan
+# from cache.
+DEFAULT_REPEAT = "3"
 
 
 def main() -> None:
