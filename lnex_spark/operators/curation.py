@@ -155,3 +155,30 @@ def quality_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return flagged.select(reason.alias("reason")).groupBy("reason").agg(
         F.count("*").alias("n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsamp-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential sort): each row gets
+    ``skey = -ln(u) / w`` with ``u`` an md5-gated uniform on the
+    16-bit lattice, and the k smallest keys win — inclusion odds
+    proportional to weight, yet a pure function of content, so the
+    sample is identical across engines, reruns, and repartitionings
+    (``df.sample``'s engine-private RNG is neither).  Quantized-u
+    collisions at equal weight produce exactly equal keys on both
+    engines; the id column breaks those ties.  The global top-k plans
+    as TakeOrderedAndProject — per-partition heaps, no full sort.
+    """
+    u = (hash_bucket(F.col(id_col), salt) + 1) / float(_HASH_SPACE + 1)
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("skey", key)
+        .orderBy(F.col("skey").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

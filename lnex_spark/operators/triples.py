@@ -9,7 +9,7 @@ partition) so a resumed job converges to the same table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PRED_MENTIONS = "mentionsLocation"
@@ -37,6 +37,58 @@ def region_triples(gazetteer: DataFrame) -> DataFrame:
             F.col("region").alias("obj"),
         )
         .distinct()
+    )
+
+
+def negative_samples(
+    positives: DataFrame,
+    vocab: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    salt: str = "neg-v1",
+) -> DataFrame:
+    """Deterministic corrupted-object negatives for KG-embedding
+    training: per positive triple, one negative whose object is drawn
+    from the entity vocabulary by an md5 gate over (subj, obj) — never
+    engine RNG, so the training set is stable across engines, reruns,
+    repartitioning, and cluster sizes (same auditability property as
+    curation.split_assign).  Collision with the true object advances
+    to the next vocabulary slot, so neg_obj != pos_obj always.
+
+    The vocabulary gets a dense index from one global row_number —
+    bounded because the entity vocab is gazetteer-sized (same class as
+    the G6/L3 tables); both index joins are broadcast.  Returns
+    (subj, pos_obj, neg_obj).
+    """
+    from lnex_spark.operators.curation import hash_bucket
+
+    v = (
+        vocab.select(F.col(obj_col).cast("long").alias("cand"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy(F.col("cand").asc())) - 1)
+    )
+    nn = v.agg(F.count("*").alias("n"))
+    h = hash_bucket(F.concat_ws("|", F.col("subj"), F.col("pos_obj")), salt)
+    p = (
+        positives.select(
+            F.col(subj_col).alias("subj"), F.col(obj_col).cast("long").alias("pos_obj")
+        )
+        .crossJoin(F.broadcast(nn))
+        .withColumn("i1", h % F.col("n"))
+        .withColumn("i2", (h + 1) % F.col("n"))
+    )
+    v1 = v.select(F.col("idx").alias("i1"), F.col("cand").alias("c1"))
+    v2 = v.select(F.col("idx").alias("i2"), F.col("cand").alias("c2"))
+    return (
+        p.join(F.broadcast(v1), "i1")
+        .join(F.broadcast(v2), "i2")
+        .select(
+            "subj",
+            "pos_obj",
+            F.when(F.col("c1") == F.col("pos_obj"), F.col("c2"))
+            .otherwise(F.col("c1"))
+            .alias("neg_obj"),
+        )
     )
 
 

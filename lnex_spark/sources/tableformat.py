@@ -149,3 +149,28 @@ def rollback_snapshot(base: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, f"{base}/_latest")
+
+
+def expire_snapshots(base: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the newest ``keep_last`` snapshot versions
+    (never the one ``_latest`` points at) — the retention/VACUUM half
+    of the snapshot log: time-travel history is bounded storage, so a
+    long-running table periodically expires old versions exactly like
+    Iceberg's ``expire_snapshots`` procedure. Returns the versions
+    removed."""
+    import os
+    import shutil
+
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    with open(f"{base}/_latest") as f:
+        current = int(f.read().strip())
+    doomed = [v for v in versions[:-keep_last] if v != current] if keep_last else [
+        v for v in versions if v != current
+    ]
+    for v in doomed:
+        shutil.rmtree(f"{base}/v={v}")
+    return doomed

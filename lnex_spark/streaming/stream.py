@@ -118,3 +118,18 @@ def stream_triples_foreach_batch(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_link_static(mention_stream: DataFrame, variants: DataFrame) -> DataFrame:
+    """L1 as a NATIVE stream-static join: streaming mentions joined to
+    the static gazetteer variants DataFrame (broadcast equi-join on
+    norm) inside the streaming query itself — no foreachBatch.
+
+    Stream-static inner equi-joins are stateless (the static side is
+    planned fresh each micro-batch, so a gazetteer table update is
+    picked up on the next batch), no watermark required — unlike the
+    stream-stream interval join in streaming/join.py, which must bound
+    both sides' state. This is the deployment shape for continuous KG
+    ingestion: the dimension stays a table, the fact side streams.
+    """
+    return link_mentions(mention_stream, variants)

@@ -69,3 +69,25 @@ def test_compression_codecs_roundtrip(spark, tmp_path):
         path = str(tmp_path / f"codec_{codec}")
         df.write.option("compression", codec).parquet(path)
         assert sorted((r.id, r.v) for r in spark.read.parquet(path).collect()) == rows
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """Retention bounds time-travel history: expire keeps the newest
+    keep_last versions, never deletes the version _latest points at,
+    and survivors stay readable."""
+    from lnex_spark.sources.tableformat import expire_snapshots
+
+    base = str(tmp_path / "snap")
+    for i in range(1, 6):
+        write_snapshot(spark.range(i).withColumn("tag", F.lit(f"v{i}")), base)
+
+    removed = expire_snapshots(base, keep_last=2)
+    assert removed == [1, 2, 3]
+    assert read_snapshot(spark, base).count() == 5  # latest = v5 intact
+    assert read_snapshot(spark, base, version=4).count() == 4
+
+    # the current pointer target is never expired, even if old
+    rollback_snapshot(base, 4)
+    removed = expire_snapshots(base, keep_last=1)
+    assert removed == []  # v5 is newest (kept), v4 is current (kept)
+    assert read_snapshot(spark, base).count() == 4

@@ -47,6 +47,17 @@ CHECKS = {
     # broadcast-free matcher: a REAL join against the gazetteer
     # (any strategy Catalyst picks) + the two Python islands
     "m1rel": dict(want=["Join", "MapInPandas", "FlatMapGroupsInPandas"]),
+    # grid-bucketed spatial kNN: replicated-cells side broadcast, the
+    # argmin a partial-aggregating struct-min — never a cross join
+    # (struct-min plans as SortAggregate — structs aren't hashable-agg
+    # buffers — but partial_min proves map-side combining still runs)
+    "spatial_knn": dict(
+        want=["BroadcastHashJoin", r"(Hash|Sort|ObjectHash)Aggregate", r"partial_min"],
+        forbid=["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # weighted sampling: global top-k must plan as TakeOrderedAndProject
+    # (per-partition heaps), never a full global Sort
+    "wsample": dict(want=["TakeOrderedAndProject"]),
 }
 
 
@@ -130,6 +141,25 @@ def main() -> None:
     from lnex_spark.operators.extract_relational import extract_mentions_relational
 
     plans["m1rel"] = grab(extract_mentions_relational(t, model.variants))
+
+    from lnex_spark.operators.curation import weighted_sample
+    from lnex_spark.operators.geomath import grid_nearest_join
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    points = cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 160) / 4.0 + 0.1).alias("lat"),
+        (((F.col("c_custkey") * 7) % 160) / 4.0 + 0.2).alias("lon"),
+    )
+    sites = spark.read.parquet(f"{sf}/nation.parquet").select(
+        F.col("n_nationkey").alias("site_id"),
+        ((F.col("n_nationkey") % 5) * 8.0 + 4.0).alias("lat"),
+        (F.floor(F.col("n_nationkey") / 5) * 8.0 + 4.0).alias("lon"),
+    )
+    plans["spatial_knn"] = grab(grid_nearest_join(points, sites))
+    plans["wsample"] = grab(
+        weighted_sample(docs.withColumn("w", F.col("n_chars") + 1.0), "w", k=200)
+    )
 
     import re
 
