@@ -275,3 +275,48 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def blocking_quality(
+    candidates: DataFrame, truth: DataFrame, universe: DataFrame
+) -> DataFrame:
+    """One-row blocking-evaluation report for entity resolution /
+    near-dup detection: did the cheap candidate generator (LSH bands,
+    blocking keys) keep the pairs that matter while pruning the
+    quadratic pair space?
+
+      * reduction_ratio   = 1 - |candidates| / (n·(n-1)/2)
+        — how much of the all-pairs comparison space was pruned
+      * pair_completeness = |candidates ∩ truth| / |truth|
+        — recall of the true near-dup pairs (the LSH guarantee)
+
+    ``universe`` is the doc set the pair space is counted over.  All
+    inputs are pair/doc-count-sized aggregates: three counts + one
+    left-semi join, no quadratic work — the report itself must stay
+    cheap at corpus scale or it defeats the blocking it evaluates.
+    """
+    cand = candidates.select("doc_a", "doc_b").distinct()
+    tr = truth.select("doc_a", "doc_b").distinct()
+    caught = cand.join(tr, ["doc_a", "doc_b"], "left_semi")
+    n_c = cand.agg(F.count("*").alias("n_candidates"))
+    n_t = tr.agg(F.count("*").alias("n_true"))
+    n_g = caught.agg(F.count("*").alias("n_caught"))
+    n_u = universe.agg(F.count("*").alias("n_docs"))
+    return (
+        n_c.crossJoin(n_t)
+        .crossJoin(n_g)
+        .crossJoin(n_u)
+        .select(
+            "n_docs",
+            "n_candidates",
+            "n_true",
+            "n_caught",
+            F.round(
+                1.0 - F.col("n_candidates") / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(F.col("n_caught") * 1.0 / F.col("n_true"), 6).alias(
+                "pair_completeness"
+            ),
+        )
+    )

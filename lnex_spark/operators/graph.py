@@ -263,3 +263,47 @@ def k_core(
         F.col("a").alias("node"), "deg"
     )
     return out
+
+
+def link_prediction_scores(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link-prediction features for
+    every NON-adjacent node pair sharing at least one neighbor — the
+    candidate scores behind "these two locations probably belong in
+    one KG cluster" edge suggestions.
+
+    Shape: one triangle-style self-join of the undirected edge list on
+    the shared-neighbor key (the same join class as tri_count), an
+    anti-join to drop already-connected pairs, a broadcast of the
+    node-count-sized degree table, and one hash agg.  Adamic-Adar
+    weights each shared neighbor z by 1/ln(deg(z)) — rare hubs count
+    more; degree-1 neighbors are excluded from the AA sum (ln 1 = 0),
+    while cn counts all shared neighbors.
+
+    Returns (x, y, cn, aa) with x < y.
+    """
+    und = undirect(edges, src, dst)
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")).select(
+        F.col("a").alias("z"), "deg"
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    cand = e1.join(e2, "z").filter(F.col("x") < F.col("y"))
+    cand = cand.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    scored = cand.join(F.broadcast(deg), "z").groupBy("x", "y").agg(
+        F.count("*").alias("cn"),
+        F.round(
+            F.sum(
+                F.when(F.col("deg") >= 2, F.lit(1.0) / F.log(F.col("deg"))).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("aa"),
+    )
+    return scored

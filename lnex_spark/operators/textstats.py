@@ -164,3 +164,43 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def tfidf_cosine_adjacent(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sparse TF-IDF cosine similarity via the term-keyed join — the
+    dot product of two sparse vectors is a join on the term key plus
+    one keyed sum, never a dense materialization.  Adjacent doc pairs
+    (d, d+1) stand in for any candidate-pair generator (LSH buckets,
+    blocking keys): the pair restriction bounds output, the formula is
+    pair-source-agnostic.  At scale: tf is the only corpus-sized
+    shuffle; idf/norms are vocabulary- and doc-count-sized; the dot
+    join is co-partitioned on (pair, term).
+
+    Returns (doc_a, doc_b, cosine) for pairs sharing >= 1 term.
+    """
+    tf, df, n = term_stats(docs, text_col)
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "tok", F.log((F.col("n_docs") + 1) / (F.col("df") + 1)).alias("idf")
+    )
+    w = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select((F.col("doc_id") - 1).alias("doc_a"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, ["doc_a", "tok"])
+        .groupBy("doc_a")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select((F.col("doc_id") - 1).alias("doc_a"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_a")
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 1).alias("doc_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )

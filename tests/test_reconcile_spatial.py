@@ -119,3 +119,48 @@ def test_weighted_sample_properties(spark):
     # deterministic under repartitioning
     out2 = weighted_sample(df.repartition(13), "w", k=150).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_link_prediction_scores(spark):
+    """Star around node 2: all non-adjacent leaf pairs share exactly
+    neighbor 2 (deg 3), so cn=1 and aa=1/ln(3) for each."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "doc_a long, doc_b long"
+    )
+    from lnex_spark.operators.graph import link_prediction_scores
+
+    got = {(r["x"], r["y"]): (r["cn"], r["aa"]) for r in link_prediction_scores(edges).collect()}
+    expect_aa = round(1.0 / __import__("math").log(3), 6)
+    assert got == {(1, 3): (1, expect_aa), (1, 4): (1, expect_aa), (3, 4): (1, expect_aa)}
+
+
+def test_blocking_quality_report(spark):
+    from lnex_spark.operators.dedup import blocking_quality
+
+    cands = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], "doc_a long, doc_b long")
+    uni = spark.range(10).select(F.col("id").alias("doc_id"))
+    r = blocking_quality(cands, truth, uni).collect()[0]
+    assert (r["n_docs"], r["n_candidates"], r["n_true"], r["n_caught"]) == (10, 3, 3, 2)
+    assert r["reduction_ratio"] == round(1 - 3 / 45.0, 6)
+    assert r["pair_completeness"] == round(2 / 3.0, 6)
+
+
+def test_resample_hourly_locf(spark):
+    from datetime import datetime
+
+    from lnex_spark.operators.timeseries import resample_hourly_locf
+
+    ev = spark.createDataFrame(
+        [
+            ("u", datetime(2026, 1, 1, 1, 10), 2.0),
+            ("u", datetime(2026, 1, 1, 1, 50), 3.0),  # h1 sum = 5.0
+            ("u", datetime(2026, 1, 1, 4, 5), 7.0),   # h2, h3 empty -> carry 5.0
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    got = {
+        r["h"].hour: r["v_filled"]
+        for r in resample_hourly_locf(ev, key="user_id").collect()
+    }
+    assert got == {1: 5.0, 2: 5.0, 3: 5.0, 4: 7.0}

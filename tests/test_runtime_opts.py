@@ -128,3 +128,65 @@ def test_window_group_limit(spark):
     assert all(r.n == 3 for r in got)
     expect_max = {g: max(v for v in range(50000) if v % 100 == g) for g in range(100)}
     assert {r.g: r.mx for r in got} == expect_max
+
+
+def test_shuffle_hash_join_hint(spark):
+    """Join-strategy matrix completion: broadcast (link_join audit),
+    sort-merge (scale fallbacks), broadcast-nested-loop (pareto) are
+    covered elsewhere; the SHUFFLE_HASH hint is the remaining
+    strategy — it skips both the broadcast (build side too big for
+    the driver) and the sort (hash lookup instead), the right choice
+    when one side is modest and pre-sorted output is not needed.
+    Hint must be honored in the plan AND change nothing in the result."""
+    a = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("vb")
+    )
+    with _confs(spark, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        hinted = a.join(b.hint("shuffle_hash"), "k")
+        plain = a.join(b, "k")
+        assert "ShuffledHashJoin" in _explain(hinted)
+        assert "SortMergeJoin" in _explain(plain)  # default past broadcast
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+
+def test_range_partitioned_layout_prunes_files(spark, tmp_path):
+    """Data-layout evidence beyond Z-order keys: a repartitionByRange
+    write clusters the sort key so per-file parquet min/max footers
+    become selective — a narrow key predicate overlaps few files,
+    while a hash-shuffled write leaves every file's [min,max] spanning
+    the whole domain (no file-level pruning possible)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    df = spark.range(0, 100000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ranged = str(tmp_path / "ranged")
+    hashed = str(tmp_path / "hashed")
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(ranged)
+    df.repartition(8, "v").write.parquet(hashed)
+
+    def overlapping(path, lo, hi):
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # k is the first column
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                n += 1
+        return n
+
+    # a 1%-wide key range: clustered layout -> 1 file overlaps;
+    # hash layout -> every file overlaps
+    assert overlapping(ranged, 40000, 41000) == 1
+    assert overlapping(hashed, 40000, 41000) == 8
+    # both layouts hold the same rows
+    assert spark.read.parquet(ranged).count() == spark.read.parquet(hashed).count()
