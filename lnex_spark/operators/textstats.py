@@ -204,3 +204,44 @@ def tfidf_cosine_adjacent(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, thresholds: tuple[float, ...] = (0.5, 0.9, 0.99), text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve: for each mass threshold t, the
+    smallest number of top-frequency tokens whose cumulative count
+    covers >= t of all token occurrences — the statistic behind
+    tokenizer-vocab sizing and stopword-list cutoffs (Zipfian corpora
+    cover 90% of mass with a tiny head).
+
+    The ranking window runs over the vocabulary table (token-count-
+    sized, like the G6 LM — bounded by construction, not by corpus
+    rows); counts are integers so the cumulative comparison is exact
+    on every engine.  Returns (threshold, n_top_tokens, vocab_size,
+    total_tokens).
+    """
+    toks = tokenized(docs, text_col)
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    tot = freq.agg(
+        F.sum("f").alias("total_tokens"), F.count("*").alias("vocab_size")
+    )
+    order = [F.desc("f"), F.asc("tok")]
+    cum = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = freq.select(
+        F.row_number().over(Window.orderBy(*order)).alias("r"),
+        F.sum("f").over(cum).alias("cum"),
+    )
+    th = docs.sparkSession.createDataFrame(
+        [(t,) for t in thresholds], "threshold double"
+    )
+    return (
+        th.crossJoin(F.broadcast(tot))
+        .join(ranked, F.col("cum") >= F.col("threshold") * F.col("total_tokens"))
+        .groupBy("threshold", "vocab_size", "total_tokens")
+        .agg(F.min("r").alias("n_top_tokens"))
+        .select("threshold", "n_top_tokens", "vocab_size", "total_tokens")
+    )

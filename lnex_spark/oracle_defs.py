@@ -767,9 +767,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(sigs, max_hamming=3)
 
 
-@register(
-    "ann_cosine_topk",
-    """
+_ANN_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
     pairs AS (
       SELECT query_id, vec_id, eq, embedding AS ev
@@ -794,7 +792,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dots
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_TOPK_SQL,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lnex_spark.operators.similarity import cosine_topk_bruteforce

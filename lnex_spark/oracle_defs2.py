@@ -528,9 +528,7 @@ def compat_extract_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_cosine_ivf",
-    """
+_ANN_IVF_SQL = """
     WITH cents AS (
       SELECT CAST(vec_id AS INT) AS cell_id, embedding AS cemb
       FROM embeddings ORDER BY vec_id LIMIT 8
@@ -580,7 +578,12 @@ def compat_extract_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id ASC) AS rank
       FROM scored) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ann_cosine_ivf",
+    _ANN_IVF_SQL,
 )
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k, value-checked: deterministic
