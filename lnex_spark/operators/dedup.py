@@ -320,3 +320,80 @@ def blocking_quality(
             ),
         )
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered exact set-similarity join.
+
+    Emits every doc pair with shingle-Jaccard >= ``threshold`` —
+    exactly (no candidate loss) — but generates candidates from
+    PREFIXES only: with each doc's distinct shingles sorted
+    rarest-first (global doc-frequency order), two docs can reach
+    Jaccard t only if they share a shingle among each one's first
+    ``|s| - ceil(t*|s|) + 1`` shingles (Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW'07).  Joining on
+    prefix shingles instead of all shingles — plus the length filter
+    ``t*|a| <= |b|`` — bounds the candidate blowup that makes the
+    naive shared-shingle join quadratic on boilerplate n-grams, and
+    the prefix entries are by construction the RAREST shingles, so
+    their postings lists are the shortest ones in the corpus.
+
+    Scale shape: one hash agg for doc frequencies (vocabulary-sized —
+    broadcastable), one shingle-keyed join to attach df, one per-doc
+    sort+collect, then the prefix self-join and an exact
+    array_intersect verify over the candidate pairs.  Complements
+    ``jaccard_pairs`` (postings-unroll with a lossy stop-shingle cap)
+    and ``lsh_candidate_pairs`` (probabilistic): this path is exact
+    AND bounded.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", toks.alias("_toks")).where(F.size(F.col("_toks")) >= n)
+    sh = base.select("doc_id", F.array_distinct(_grams(F.col("_toks"), n)).alias("_g"))
+    ex = sh.select(
+        "doc_id", F.size("_g").alias("n_sh"), F.explode("_g").alias("shingle")
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("os"))
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.transform(F.slice("os", F.lit(1), prefix_len), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = sh.select(F.col("doc_id").alias("doc_a"), F.col("_g").alias("_ga"))
+    gb = sh.select(F.col("doc_id").alias("doc_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / (F.size("_ga") + F.size("_gb") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -307,3 +307,53 @@ def link_prediction_scores(
         ).alias("aa"),
     )
     return scored
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any landmark node,
+    by fixed-round distance relaxation.
+
+    ``sources`` is a one-column DataFrame of landmark node ids;
+    returns ``(node, dist)`` for every node within ``max_hops`` of a
+    landmark (unreached nodes are absent, not NULL — the frontier
+    never visited them).  The landmark-distance sketch is the standard
+    trick for approximating point-to-point distances on graphs too big
+    for pairwise shortest paths: store |L| distances per node instead
+    of |V|.
+
+    Same shuffle shape as ``connected_components`` — per round one
+    keyed join of the (repartitioned-once, persisted) undirected edge
+    list against the current distance table plus one min-aggregation —
+    but FIXED rounds, not a fixpoint loop, so the computation is a
+    deterministic function of (edges, sources, max_hops) and an
+    unrolled relational oracle can re-derive it exactly.  Lineage is
+    truncated per round (localCheckpoint) like the other iterative
+    graph ops.
+    """
+    und = undirect(edges, src, dst)
+    n_part = und.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    und = und.repartition(int(n_part), "a").persist()
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        prop = und.join(dist, und["a"] == dist["node"]).select(
+            F.col("b").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return dist

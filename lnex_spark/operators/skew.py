@@ -74,3 +74,48 @@ def suggest_salt_partitions(
     if stats.hot <= max_rows_per_task_factor * mean_task:
         return None
     return target_parallelism
+
+
+def key_skew_profile(df: DataFrame, key: str = "conv_id") -> DataFrame:
+    """One-row concentration report of a key distribution: the
+    measurement behind ``suggest_salt_partitions``'s yes/no decision,
+    kept as an auditable artifact (how skewed IS this corpus?).
+
+    Columns: ``n_keys``, ``total`` rows, ``gini`` (0 = uniform,
+    →1 = one key holds everything; computed from the exact rank-
+    weighted form 2·Σ i·c_(i) / (k·Σc) − (k+1)/k over counts sorted
+    ascending), ``top1_share`` and ``top10_share`` (fraction of all
+    rows held by the hottest 1 / 10 keys).
+
+    The global rank window runs over the per-key COUNT table, whose
+    size is the key cardinality, not the row count — same bounded-
+    input caveat as the KS/Zipf ops; at planet scale the count table
+    is still tiny relative to the corpus. Ordering is fully specified
+    (count, then key) so ranks — and therefore the Gini sum — are
+    deterministic under ties.
+    """
+    cnt = df.groupBy(key).agg(F.count("*").alias("c"))
+    w_asc = Window.orderBy(F.col("c").asc(), F.col(key).asc())
+    w_desc = Window.orderBy(F.col("c").desc(), F.col(key).desc())
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(w_asc).alias("rk"),
+        F.row_number().over(w_desc).alias("rk_hot"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("c")) / (F.count("*") * F.sum("c"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("rk_hot") <= 1, F.col("c")).otherwise(0)) / F.sum("c"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rk_hot") <= 10, F.col("c")).otherwise(0)) / F.sum("c"),
+            6,
+        ).alias("top10_share"),
+    )

@@ -164,3 +164,27 @@ def test_kmeans_deterministic_across_parallelism(emb):
     assign = {r["vec_id"]: r["cell_id"] for r in a1.collect()}
     assert len(assign) == emb.count()
     assert assign[0] == assign[20] == assign[21]
+
+
+def test_prefix_filter_matches_bruteforce(docs):
+    """The prefix-filtered join must emit EXACTLY the pairs the
+    unrestricted postings join finds at the same threshold — the
+    no-candidate-loss guarantee of the AllPairs prefix bound."""
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pref == brute
+    assert pref[(0, 1)] == 1.0  # exact dup pair survives
+
+
+def test_prefix_filter_high_threshold_drops_near_dup(docs):
+    pref = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.prefix_filter_pairs(docs, n=3, threshold=0.95).collect()
+    }
+    assert pref == {(0, 1)}  # only the exact duplicate reaches 0.95

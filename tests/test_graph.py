@@ -160,3 +160,23 @@ def test_label_propagation_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, label_propagation(edges, 3).collect()))
     b = sorted(map(tuple, label_propagation(edges.repartition(13), 3).collect()))
     assert a == b
+
+
+def test_bfs_distances_chain_and_horizon(spark):
+    from lnex_spark.operators.graph import bfs_distances
+
+    # 1-2-3-4-5 chain; landmark at 1: node 5 is 4 hops out -> absent
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {(r.node, r.dist) for r in bfs_distances(e, src, max_hops=3).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from lnex_spark.operators.graph import bfs_distances
+
+    # landmarks at both ends of a chain: middle node takes the min side
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {(r.node, r.dist) for r in bfs_distances(e, src, max_hops=3).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 1), (5, 0)}
