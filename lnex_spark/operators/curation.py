@@ -182,3 +182,53 @@ def weighted_sample(
         .orderBy(F.col("skey").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 128, shard_size: int = 100
+) -> DataFrame:
+    """Greedy first-fit sequence packing — the batch-construction step
+    of an LLM training pipeline: assign documents, in doc_id order, to
+    token-budgeted bins (a new bin starts whenever adding the next doc
+    would exceed ``budget``; an oversized doc gets a bin to itself).
+
+    Packing is inherently sequential, so it is SHARDED: docs are
+    grouped into contiguous ``doc_id // shard_size`` shards and packed
+    independently per shard — embarrassingly parallel, one
+    ``applyInPandas`` island whose per-group state is a shard, not the
+    corpus (this is how production packers scale: sequentiality is
+    confined to a bounded shard, global order across shards is
+    irrelevant to the training batches).  Deterministic: bin ids are a
+    pure function of (doc_id, n_tokens) per shard.
+
+    Returns ``(doc_id, shard, bin, n_tokens)`` — bin numbering is
+    per-shard, starting at 0.
+    """
+    from lnex_spark.operators.textquality import token_count_col
+
+    d = docs.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {int(shard_size)}").alias("shard"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins: list[int] = []
+        cur, b = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            n = int(n)
+            if i == 0:
+                cur = n
+            elif cur + n > budget:
+                b += 1
+                cur = n
+            else:
+                cur += n
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf[["doc_id", "shard", "bin", "n_tokens"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, bin long, n_tokens long"
+    )

@@ -245,3 +245,73 @@ def vocab_coverage(
         .agg(F.min("r").alias("n_top_tokens"))
         .select("threshold", "n_top_tokens", "vocab_size", "total_tokens")
     )
+
+
+def bpe_merges(docs: DataFrame, rounds: int = 3, text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge induction — tokenizer TRAINING as a
+    Spark job.  Returns the first ``rounds`` learned merges as
+    ``(rank, lhs, rhs, freq)``.
+
+    Classic BPE (Sennrich et al., ACL'16): start from characters,
+    repeatedly merge the most frequent adjacent symbol pair across the
+    (frequency-weighted) word vocabulary.  One deterministic variant
+    choice: only pairs with lhs != rhs are candidates.  With lhs = rhs
+    excluded, two matches of a pair can never overlap (a match at i
+    and i+1 would force lhs = rhs), so "replace all occurrences" is
+    well-defined relationally and equals greedy left-to-right — the
+    whole training loop stays in window functions + hash aggregations
+    with no imperative scanning, and an unrolled SQL oracle can
+    re-derive it exactly.  Ties on pair frequency break by (lhs, rhs)
+    ascending — fully specified, engine-independent.
+
+    Scale shape: the state is the WORD VOCABULARY (symbol rows =
+    Σ word lengths over distinct words), not the corpus — the corpus
+    is only scanned once for word counts.  Per round: one lead()
+    window per word (partitioned by word — no global window), one
+    vocabulary-sized pair agg, a 1-row top-1 collect to the driver
+    (the merge decision — same scalar-broadcast pattern as the k-means
+    centroid step), and one filter+renumber pass.  Lineage is
+    truncated per round.
+    """
+    w = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    s = w.select("word", "wf", F.posexplode(F.split("word", "")).alias("pos", "sym"))
+    s = s.localCheckpoint(eager=True)
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pc = (
+            s.select("wf", "sym", F.lead("sym").over(w_word).alias("nxt"))
+            .filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wf").alias("cnt"))
+        )
+        top = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        merges.append((r, top["a"], top["b"], int(top["cnt"])))
+        hit = (F.col("sym") == F.lit(top["a"])) & (
+            F.lead("sym").over(w_word) == F.lit(top["b"])
+        )
+        x = s.select(
+            "word", "wf", "pos", "sym", F.coalesce(hit, F.lit(False)).alias("hit")
+        ).select("*", F.lag("hit").over(w_word).alias("prev_hit"))
+        s = (
+            x.filter(~F.coalesce(F.col("prev_hit"), F.lit(False)))
+            .select(
+                "word",
+                "wf",
+                F.row_number().over(w_word).alias("pos"),
+                F.when(F.col("hit"), F.lit(top["a"] + top["b"]))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, freq long"
+    )

@@ -185,3 +185,29 @@ def test_oracle_registry_batch13_complete():
     }
     assert keys <= set(spark_queries())
     assert keys <= set(duckdb_sql())
+
+
+def test_pack_sequences_greedy_and_oversize(spark):
+    from lnex_spark.operators.curation import pack_sequences
+
+    # shard 0: token counts 3,3,3 with budget 6 -> bins [0,0,1]
+    # oversize doc (8 tokens > budget) gets its own bin
+    rows = [
+        (0, "a b c"),
+        (1, "d e f"),
+        (2, "g h i"),
+        (3, "x " * 7 + "y"),  # 8 tokens
+        (100, "a b"),  # new shard -> bin numbering restarts
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.bin, r.n_tokens)
+        for r in pack_sequences(docs, budget=6, shard_size=100).collect()
+    }
+    assert got == {
+        0: (0, 0, 3),
+        1: (0, 0, 3),
+        2: (0, 1, 3),
+        3: (0, 2, 8),
+        100: (1, 0, 2),
+    }

@@ -81,3 +81,18 @@ def test_oracle_registry_batch4_complete():
     assert batch4 <= set(qs)
     # every batch-4 op is fully SQL-verified — none fall back to rows-only
     assert batch4 <= set(sqls)
+
+
+def test_bpe_merges_hand_corpus(spark):
+    """'low'x3 + 'lower'x1 — round 1: (l,o) and (o,w) tie at freq 4,
+    (l,o) wins on pair order; round 2: (lo,w) freq 4; round 3: after
+    'low' collapses to one symbol, (low,e) and (e,r) tie at freq 1 and
+    'e' < 'low' picks (e,r)."""
+    from lnex_spark.operators.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low low"), (1, "low lower")], "doc_id long, text string"
+    )
+    got = [(r.rank, r.lhs, r.rhs, r.freq) for r in bpe_merges(docs, rounds=3).collect()]
+    assert got == [(1, "l", "o", 4), (2, "lo", "w", 4), (3, "e", "r", 1)]
+
