@@ -96,3 +96,16 @@ def test_bpe_merges_hand_corpus(spark):
     got = [(r.rank, r.lhs, r.rhs, r.freq) for r in bpe_merges(docs, rounds=3).collect()]
     assert got == [(1, "l", "o", 4), (2, "lo", "w", 4), (3, "e", "r", 1)]
 
+
+
+def test_bpe_merges_repartition_invariant(spark):
+    """Merge choices depend on global pair counts with explicit tie
+    order — the training loop must not care how the corpus is
+    partitioned."""
+    from lnex_spark.operators.textstats import bpe_merges
+
+    rows = [(i, f"low lower lowest slow slower w{i % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = [tuple(r) for r in bpe_merges(docs.repartition(1), rounds=3).collect()]
+    m8 = [tuple(r) for r in bpe_merges(docs.repartition(8), rounds=3).collect()]
+    assert m1 == m8 and len(m1) == 3
