@@ -58,6 +58,15 @@ CHECKS = {
     # weighted sampling: global top-k must plan as TakeOrderedAndProject
     # (per-partition heaps), never a full global Sort
     "wsample": dict(want=["TakeOrderedAndProject"]),
+    # prefix-filtered set-similarity: equi-join on prefix shingles —
+    # never a cartesian/nested-loop pair enumeration
+    "setsim": dict(
+        want=["Join", "Generate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # sharded greedy packing: ONE grouped-map Python island on the
+    # shard key; the sequential loop never leaks into a driver collect
+    "pack": dict(want=["FlatMapGroupsInPandas", "Exchange"]),
 }
 
 
@@ -160,6 +169,12 @@ def main() -> None:
     plans["wsample"] = grab(
         weighted_sample(docs.withColumn("w", F.col("n_chars") + 1.0), "w", k=200)
     )
+
+    from lnex_spark.operators.curation import pack_sequences
+    from lnex_spark.operators.dedup import prefix_filter_pairs
+
+    plans["setsim"] = grab(prefix_filter_pairs(docs, n=3, threshold=0.5))
+    plans["pack"] = grab(pack_sequences(docs))
 
     import re
 
