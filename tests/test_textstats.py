@@ -109,3 +109,17 @@ def test_bpe_merges_repartition_invariant(spark):
     m1 = [tuple(r) for r in bpe_merges(docs.repartition(1), rounds=3).collect()]
     m8 = [tuple(r) for r in bpe_merges(docs.repartition(8), rounds=3).collect()]
     assert m1 == m8 and len(m1) == 3
+
+
+def test_bucketed_exact_quantile_matches_sorted_pick(spark):
+    import math
+
+    from lnex_spark.operators.quantiles import bucketed_exact_quantile
+
+    vals = [5.0, 1.0, 3.0, 3.0, 9.0, 7.0, 3.0, 2.0]  # ties on 3.0
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+    for q in (0.01, 0.5, 0.75, 0.99):
+        n, k, got = bucketed_exact_quantile(df, "x", q, bucket_width=2.0)
+        assert (n, k) == (len(vals), math.ceil(q * len(vals)))
+        assert got == s[k - 1]
