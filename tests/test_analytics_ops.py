@@ -1,0 +1,109 @@
+"""Invariant tests for the analytics ops of oracle_defs54-57 (value
+equality vs DuckDB is covered by the oracle sweep; these pin the
+guarantees the value hash can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_qgram_blocking_loses_no_pairs(spark):
+    """The blocked edit-distance join must return exactly the pairs
+    the UNBLOCKED quadratic form returns on this corpus."""
+    from lnex_spark.oracle_defs57 import qgram_edit_join_parts
+
+    blocked = {
+        (r.brand_a, r.brand_b) for r in qgram_edit_join_parts(spark, SF).collect()
+    }
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    brands = p.select(F.col("p_brand").alias("b")).distinct()
+    a, b = brands.alias("a"), brands.alias("b")
+    unblocked = {
+        (r.x, r.y)
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("a.b") < F.col("b.b"))
+            & (F.levenshtein(F.col("a.b"), F.col("b.b")) <= 1)
+        )
+        .select(F.col("a.b").alias("x"), F.col("b.b").alias("y"))
+        .collect()
+    }
+    assert blocked == unblocked and blocked
+
+
+def test_mixture_weights_sum_to_one_and_upsample_low_resource(spark):
+    from lnex_spark.oracle_defs57 import mixture_weights_docs
+
+    rows = mixture_weights_docs(spark, SF).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-5
+    by_share = sorted(rows, key=lambda r: r.share)
+    # alpha < 1 upsamples the smallest language and downsamples the largest
+    assert by_share[0].upsample_factor > 1.0
+    assert by_share[-1].upsample_factor < 1.0
+
+
+def test_ece_bounded(spark):
+    from lnex_spark.oracle_defs57 import ece_docs
+
+    r = ece_docs(spark, SF).collect()[0]
+    assert 0.0 <= r.ece <= 1.0
+    assert 0.0 <= r.brier <= 1.0
+
+
+def test_ab_arms_partition_events(spark):
+    from lnex_spark.oracle_defs57 import ab_test_events
+
+    r = ab_test_events(spark, SF).collect()[0]
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert r.na + r.nb == total
+    assert 0 < r.rate_a < 1 and 0 < r.rate_b < 1
+
+
+def test_theil_components_nonnegative(spark):
+    from lnex_spark.oracle_defs55 import theil_decomp_events
+
+    r = theil_decomp_events(spark, SF).collect()[0]
+    assert r.theil_total >= 0
+    assert r.theil_between >= -1e-9
+    assert r.theil_within >= -1e-9
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 1e-5
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    from lnex_spark.oracle_defs55 import weighted_median_lineitem
+
+    r = weighted_median_lineitem(spark, SF).collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    rows.sort(key=lambda x: (x.l_extendedprice, x.l_orderkey, x.l_linenumber))
+    tw = sum(int(x.l_quantity) for x in rows)
+    cum = 0
+    for x in rows:
+        cum += int(x.l_quantity)
+        if cum * 2 >= tw:
+            assert abs(r.weighted_median - round(x.l_extendedprice, 6)) < 1e-9
+            break
+    assert r.total_weight == tw
+
+
+def test_item_cf_neighbors_are_top3(spark):
+    from lnex_spark.oracle_defs54 import item_cf_events
+
+    out = item_cf_events(spark, SF)
+    per_item = out.groupBy("item_a").count().collect()
+    assert per_item and all(r["count"] <= 3 for r in per_item)
+    sims = out.filter((F.col("sim") <= 0) | (F.col("sim") > 1.0000001)).count()
+    assert sims == 0
+
+
+def test_lm_transfer_english_scores_best(spark):
+    """The en-trained LM must assign english the LOWEST cross-entropy."""
+    from lnex_spark.oracle_defs54 import lm_transfer_docs
+
+    rows = {r.lang: r.xent for r in lm_transfer_docs(spark, SF).collect()}
+    assert min(rows, key=rows.get) == "en"
