@@ -107,3 +107,32 @@ def test_lm_transfer_english_scores_best(spark):
 
     rows = {r.lang: r.xent for r in lm_transfer_docs(spark, SF).collect()}
     assert min(rows, key=rows.get) == "en"
+
+
+def test_isotonic_fit_is_monotone_and_weighted_mean_preserving(spark):
+    from lnex_spark.oracle_defs58 import isotonic_calibration_docs
+
+    rows = sorted(isotonic_calibration_docs(spark, SF).collect(), key=lambda r: r.bin)
+    fits = [r.iso_fit for r in rows]
+    assert fits == sorted(fits), "PAV output must be non-decreasing"
+    wm_fit = sum(r.n * r.iso_fit for r in rows) / sum(r.n for r in rows)
+    wm_y = sum(r.n * r.pos_rate for r in rows) / sum(r.n for r in rows)
+    assert abs(wm_fit - wm_y) < 1e-4, "PAV preserves the weighted mean"
+
+
+def test_cuped_reduces_variance(spark):
+    from lnex_spark.oracle_defs58 import cuped_events
+
+    r = cuped_events(spark, SF).collect()[0]
+    assert 0.0 < r.var_ratio <= 1.0
+    assert r.var_cuped <= r.var_y
+
+
+def test_cv_auc_folds_bracket_pooled_auc(spark):
+    from lnex_spark.oracle_defs48 import auc_nchars_en_docs
+    from lnex_spark.oracle_defs58 import cv_auc_docs
+
+    cv = cv_auc_docs(spark, SF).collect()[0]
+    pooled = auc_nchars_en_docs(spark, SF).collect()[0].auc
+    assert cv.n_folds == 5
+    assert cv.min_auc - 0.15 <= pooled <= cv.max_auc + 0.15
