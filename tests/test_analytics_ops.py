@@ -136,3 +136,47 @@ def test_cv_auc_folds_bracket_pooled_auc(spark):
     pooled = auc_nchars_en_docs(spark, SF).collect()[0].auc
     assert cv.n_folds == 5
     assert cv.min_auc - 0.15 <= pooled <= cv.max_auc + 0.15
+
+
+def test_conformal_coverage_near_nominal(spark):
+    from lnex_spark.oracle_defs61 import conformal_events
+
+    r = conformal_events(spark, SF).collect()[0]
+    assert r.q90 > 0
+    # split-conformal guarantee: coverage >= 0.9 - O(1/n_cal); allow finite-sample slack
+    assert 0.8 <= r.coverage <= 1.0
+
+
+def test_good_turing_discounts_singletons(spark):
+    from lnex_spark.oracle_defs61 import good_turing_docs
+
+    rows = {r.r: r for r in good_turing_docs(spark, SF).collect()}
+    assert 1 in rows
+    assert 0.0 < rows[1].unseen_mass < 1.0
+    # GT discounts the singleton count (r*=2*N2/N1 < 1 on a Zipf tail)
+    assert rows[1].r_star < 1.0
+
+
+def test_silhouette_bounded(spark):
+    from lnex_spark.oracle_defs62 import silhouette_embeddings
+
+    rows = silhouette_embeddings(spark, SF).collect()
+    assert rows and sum(r.n for r in rows) == 300
+    for r in rows:
+        assert -1.0 <= r.avg_silhouette <= 1.0
+
+
+def test_f1_curve_invariants(spark):
+    """Recall and true positives are non-increasing in the threshold
+    (the rule predicts n_chars > t); is_best flags exactly the F1 max.
+    Note F1 and info gain legitimately pick different thresholds on a
+    weak score: F1 tolerates the predict-everything regime, IG does
+    not — asserting agreement here would encode a false belief."""
+    from lnex_spark.oracle_defs62 import f1_threshold_docs
+
+    rows = sorted(f1_threshold_docs(spark, SF).collect(), key=lambda r: r.t)
+    for a, b in zip(rows, rows[1:]):
+        assert b.rec <= a.rec + 1e-9
+        assert b.tp <= a.tp
+    best = max(r.f1 for r in rows)
+    assert {r.f1 for r in rows if r.is_best} == {best}
