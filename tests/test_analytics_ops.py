@@ -232,3 +232,29 @@ def test_hits_scores_normalized(spark):
     assert abs(sum(s * s for s in auth) - 1.0) < 1e-3
     assert abs(sum(s * s for s in hub) - 1.0) < 1e-3
     assert all(s >= 0 for s in auth + hub)
+
+
+def test_hll_jaccard_sketch_estimate_close(spark):
+    """Jaccard from three approx_count_distinct sketches must land
+    within 5% relative of the exact inclusion-exclusion value."""
+    from pyspark.sql import functions as F
+    from lnex_spark.oracle_defs70 import hll_jaccard_users
+
+    exact = hll_jaccard_users(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    u = a.union(b)
+    na = a.agg(F.approx_count_distinct("user_id", 0.01)).collect()[0][0]
+    nb = b.agg(F.approx_count_distinct("user_id", 0.01)).collect()[0][0]
+    nu = u.agg(F.approx_count_distinct("user_id", 0.01)).collect()[0][0]
+    est = (na + nb - nu) / nu
+    assert abs(est - exact.jaccard_exact) <= 0.05 * max(exact.jaccard_exact, 1e-9)
+
+
+def test_permutation_test_pvalue_bounds(spark):
+    from lnex_spark.oracle_defs70 import permutation_test_events
+
+    r = permutation_test_events(spark, SF).collect()[0]
+    assert r.n_perms == 32
+    assert 1.0 / 33 <= r.p_value <= 1.0
