@@ -258,3 +258,25 @@ def test_permutation_test_pvalue_bounds(spark):
     r = permutation_test_events(spark, SF).collect()[0]
     assert r.n_perms == 32
     assert 1.0 / 33 <= r.p_value <= 1.0
+
+
+def test_topk_merge_contract(spark):
+    """Every direct top-10 row must appear in the merged-local-top-k
+    selection — the distributed top-k contract."""
+    from lnex_spark.oracle_defs76 import topk_merge_orders
+
+    rows = topk_merge_orders(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.in_merged == 1 for r in rows)
+
+
+def test_dedup_cluster_report_consistent(spark):
+    from lnex_spark.oracle_defs76 import dedup_cluster_sizes_docs
+
+    rows = dedup_cluster_sizes_docs(spark, SF).collect()
+    sizes = {r.cluster_size for r in rows}
+    # injected clones: every 5th doc twice more, every 10th thrice
+    assert sizes == {1, 2, 3}
+    r = rows[0]
+    assert 0.0 < r.singleton_rate < 1.0
+    assert 0.0 < r.reduction_if_deduped < 1.0
