@@ -189,9 +189,27 @@ differences inside host noise (the same pinned 2M job measured 6.96s
 in a clean window and ~15s in a loaded one, confirming the bursty
 one-sided noise model above); lazy kept (one job, BlockManager
 per-partition locking already computes the extraction once).
+
+<!-- appended-notes below survive scaling_bench regeneration -->
 """
+        + _appended_notes(bench_md)
     )
     print(f"wrote {bench_md}")
+
+
+_NOTES_MARKER = "<!-- appended-notes below survive scaling_bench regeneration -->"
+
+
+def _appended_notes(bench_md) -> str:
+    """Preserve any narrative text after the marker across regenerations
+    (session notes were silently dropped before this existed)."""
+    try:
+        old = bench_md.read_text()
+    except FileNotFoundError:
+        return ""
+    if _NOTES_MARKER in old:
+        return old.split(_NOTES_MARKER, 1)[1].lstrip("\n")
+    return ""
 
 
 if __name__ == "__main__":
