@@ -40,7 +40,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURES_SCHEMA = (
-    "media_id long, kind string, n_bytes long, checksum long, feature array<double>"
+    "media_id long, kind string, n_bytes long, payload_md5 string, feature array<double>"
 )
 
 _KINDS = ["image", "audio", "video"]
@@ -75,41 +75,53 @@ def _real_decode(kind: str, payload: bytes, meta) -> np.ndarray:
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in 'embedding': byte-histogram moments."""
+    """Deterministic stand-in 'embedding': strided code-point means.
+
+    feature[j] = mean(codepoint of every dim-th character starting at j)
+    over the UTF-8-decoded payload, 0.0 for an empty stride.  Chosen to
+    be reproducible bit-for-bit in plain SQL (avg over ord(char) grouped
+    by position % dim) so the driver's DuckDB oracle can value-check the
+    whole decode path, not just row counts.  Unrounded: the mean is a
+    ratio of exactly-representable integers, so Spark and the oracle
+    compute the identical double.
+    """
     if not payload:
         return np.zeros(dim)
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    chunks = np.array_split(arr, dim)
-    return np.array([float(c.mean()) if len(c) else 0.0 for c in chunks])
+    cps = np.fromiter(map(ord, payload.decode("utf-8", errors="replace")), dtype=np.float64)
+    return np.array(
+        [float(cps[j::dim].mean()) if len(cps) > j else 0.0 for j in range(dim)]
+    )
 
 
 def decode_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     The Arrow batch carries (media_id, kind, payload, meta) → output
-    (media_id, kind, n_bytes, checksum, feature). Real decoders plug
+    (media_id, kind, n_bytes, payload_md5, feature). Real decoders plug
     into ``_real_decode``; this container uses the deterministic fake.
+    payload_md5 digests the raw bytes (oracle-checkable: DuckDB
+    ``md5(text)`` hashes the same UTF-8 bytes).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
+        import hashlib
 
         for pdf in batches:
-            feats, checks, sizes = [], [], []
+            feats, digests, sizes = [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 if use_real_decoder:
-                    feats.append(_real_decode("", b, None).round(6).tolist())
+                    feats.append(_real_decode("", b, None).tolist())
                 else:
-                    feats.append(_fake_features(b).round(6).tolist())
-                checks.append(zlib.crc32(b))
+                    feats.append(_fake_features(b).tolist())
+                digests.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "checksum": pd.Series(checks, dtype="int64"),
+                    "payload_md5": digests,
                     "feature": feats,
                 }
             )

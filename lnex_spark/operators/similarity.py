@@ -67,6 +67,49 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def rademacher_signs(dim: int, n_planes: int) -> np.ndarray:
+    """±1 hyperplanes with md5-derived signs: sign[p][d] = +1 iff the
+    low bit of int(md5(f"{p}:{d}")[:8], 16) is set.  Rademacher planes
+    are a standard SimHash/hyperplane-LSH choice (same collision-
+    probability guarantee as Gaussian up to constants) and — unlike a
+    seeded numpy RNG — are reproducible in plain SQL, which lets the
+    DuckDB oracle value-check the whole LSH path."""
+    import hashlib
+
+    s = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            s[p, d] = 1 if int(h[:8], 16) & 1 else -1
+    return s
+
+
+def lsh_signatures_rademacher(
+    embeddings: DataFrame, dim: int, n_planes: int = 8
+) -> DataFrame:
+    """Hyperplane-LSH signatures with exact integer arithmetic: the
+    vector is quantized to floor(x * 2^20) int64 (exact — 2^20 is a
+    power of two, so the float32→double scaling loses no bits) and
+    projected onto ±1 planes with integer dot products.  Every engine
+    computes the identical signature — no float summation-order or
+    SIMD-blocking ulp hazard — so this variant is value-checkable
+    against SQL while staying a real LSH (quantization at 2^-20 is far
+    below any meaningful cosine resolution)."""
+    signs = rademacher_signs(dim, n_planes)
+
+    @F.pandas_udf("int")
+    def sig(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.values).astype(np.float64)
+        q = np.floor(mat * 1048576.0).astype(np.int64)
+        bits = (q @ signs.T) > 0
+        out = np.zeros(len(emb), dtype=np.int32)
+        for j in range(n_planes):
+            out |= bits[:, j].astype(np.int32) << j
+        return pd.Series(out)
+
+    return embeddings.withColumn("lsh_sig", sig(F.col("embedding")))
+
+
 def lsh_signatures(embeddings: DataFrame, dim: int, n_planes: int = 12, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH signature per vector (one numpy-vectorized
     pandas UDF — Arrow batches, matrix multiply per batch)."""
@@ -91,14 +134,21 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 12,
     seed: int = 42,
+    planes: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing the query's LSH
     bucket (single-probe), re-ranked exactly. Recall grows with fewer
-    planes / multi-probe; the join is bucket-equi, never all-pairs."""
-    e = lsh_signatures(embeddings, dim, n_planes, seed).select(
+    planes / multi-probe; the join is bucket-equi, never all-pairs.
+    ``planes='rademacher'`` swaps in the SQL-reproducible integer
+    signature (lsh_signatures_rademacher) — same plan shape."""
+    if planes == "rademacher":
+        _sigs = lambda df: lsh_signatures_rademacher(df, dim, n_planes)
+    else:
+        _sigs = lambda df: lsh_signatures(df, dim, n_planes, seed)
+    e = _sigs(embeddings).select(
         "vec_id", F.col("lsh_sig").alias("sig_e"), _as_double(F.col("embedding")).alias("emb_e")
     )
-    q = lsh_signatures(queries, dim, n_planes, seed).select(
+    q = _sigs(queries).select(
         F.col("query_id"), F.col("lsh_sig").alias("sig_q"), _as_double(F.col("embedding")).alias("emb_q")
     )
     cand = e.join(F.broadcast(q), F.col("sig_e") == F.col("sig_q")).filter(
@@ -177,7 +227,13 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 12,
+    planes: str = "gaussian",
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc-level dedup by
     semantic similarity): LSH-bucketed candidates + exact cosine
     filter. Bucket-array pair unrolling, not a self-join — a self-join
@@ -185,9 +241,19 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
     dedup.lsh_candidate_pairs). Buckets carry the vectors; with
     n_planes=12 the expected bucket is corpus/4096, so the per-bucket
     arrays stay small at scale (and a degenerate bucket is the same
-    hazard either way)."""
-    dim = len(embeddings.select("embedding").first()[0])
-    sigs = lsh_signatures(embeddings, dim).select(
+    hazard either way).
+
+    Pass ``dim`` explicitly in production — the None fallback probes it
+    with a driver-side .first(), which is a convenience for small
+    interactive use only.  ``planes='rademacher'`` uses the
+    SQL-reproducible integer signatures."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+    if planes == "rademacher":
+        sig_df = lsh_signatures_rademacher(embeddings, dim, n_planes)
+    else:
+        sig_df = lsh_signatures(embeddings, dim, n_planes)
+    sigs = sig_df.select(
         "vec_id", "lsh_sig", _as_double(F.col("embedding")).alias("emb")
     )
     buckets = (

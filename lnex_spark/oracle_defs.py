@@ -139,9 +139,57 @@ def t2_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- T3 hashtag_segment (rows-only: Viterbi over broadcast LM) ----------
-@register("t3_hashtag_segment")
+T3_SEGMENT_SQL = r"""
+    WITH lm AS (
+      SELECT tok AS w, count(*) AS c
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents)
+      WHERE len(tok) > 0 GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS t FROM lm),
+    tags AS (
+      SELECT doc_id,
+             list_extract(string_split_regex(lower(trim(text)), '\s+'), 1)
+          || list_extract(string_split_regex(lower(trim(text)), '\s+'), 2) AS body
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+    ),
+    splits AS (
+      SELECT doc_id, body, i,
+             substr(body, 1, CAST(i AS INT)) AS head,
+             substr(body, CAST(i AS INT) + 1) AS tail
+      FROM (SELECT doc_id, body, unnest(range(1, len(body))) AS i FROM tags)
+    ),
+    cand AS (
+      SELECT g.doc_id, g.body, 0 AS i, g.body AS seg,
+             CASE WHEN w0.c IS NOT NULL THEN w0.c * 1.0 / t
+                  ELSE 10.0 / (t * power(10, len(g.body))) END AS score
+      FROM tags g CROSS JOIN tot LEFT JOIN lm w0 ON w0.w = g.body
+      UNION ALL
+      SELECT s.doc_id, s.body, CAST(s.i AS INT) AS i, s.head || ' ' || s.tail AS seg,
+             (CASE WHEN h.c IS NOT NULL THEN h.c * 1.0 / t
+                   ELSE 10.0 / (t * power(10, len(s.head))) END)
+           * (CASE WHEN tl.c IS NOT NULL THEN tl.c * 1.0 / t
+                   ELSE 10.0 / (t * power(10, len(s.tail))) END) AS score
+      FROM splits s CROSS JOIN tot
+      LEFT JOIN lm h  ON h.w  = s.head
+      LEFT JOIN lm tl ON tl.w = s.tail
+    )
+    SELECT doc_id, '#' || body AS hashtag, seg AS segmented FROM (
+      SELECT doc_id, body, seg,
+             row_number() OVER (PARTITION BY doc_id, body
+                                ORDER BY score DESC, i ASC) AS rk
+      FROM cand) WHERE rk = 1
+    """
+
+
+@register("t3_hashtag_segment", T3_SEGMENT_SQL)
 def t3_hashtag_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment synthetic hashtags built from document token pairs."""
+    """Segment synthetic hashtags built from document token pairs.
+
+    Value-checked since round 2 (was rows-only): the twin SQL argmax
+    in oracle_defs2 (see t3_hashtag_segment_sql's soundness argument)
+    is attached here too; the only Spark-side change is the explicit
+    size >= 2 guard the SQL side always had."""
     import pandas as pd
 
     from lnex_spark.operators.textproc import HashtagSegmenter
@@ -155,13 +203,10 @@ def t3_hashtag_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = {r[0]: int(r[1]) for r in toks.collect()}
     bc = spark.sparkContext.broadcast(freq)
-    tags = d.select(
+    arr = F.split(F.lower(F.trim("text")), r"\s+")
+    tags = d.filter(F.size(arr) >= 2).select(
         "doc_id",
-        F.concat(
-            F.lit("#"),
-            F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 1),
-            F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 2),
-        ).alias("hashtag"),
+        F.concat(F.lit("#"), F.element_at(arr, 1), F.element_at(arr, 2)).alias("hashtag"),
     )
 
     def _seg(s):
@@ -632,15 +677,20 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum_k is DOUBLE on BOTH engines on purpose: DuckDB's sum(BIGINT) yields
+    # HUGEINT (→ float64 in pandas) while Spark's sum(LONG) stays int64, so an
+    # integer sum hashes as "454" vs "454.0" under a pandas-based
+    # canonicalizer.  The k values are small integers, so the double sum is
+    # exact.
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.sum(F.get_json_object("props", "$.k").cast("double")).cast("double").alias("sum_k"),
         F.count("*").alias("n"),
     )
 
@@ -747,8 +797,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH candidate pairs + SimHash: rows-only (banding layout /
 # numpy bit math not worth re-deriving in SQL; exactness covered by
 # dedup_minhash_sig + unit tests)
-@register("dedup_lsh_pairs")
+# SQL twins for the md5-deterministic dedup ops, shared with the
+# *_sql aliases in oracle_defs2 (attached to the primaries in round 2
+# so the driver's check window sees them value-checked, per VERDICT).
+LSH_PAIRS_SQL = r"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM uni
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
+    sigs AS (
+      SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, (SELECT unnest(range(0, 8)) AS h)
+      GROUP BY doc_id, h
+    ),
+    banded AS (
+      SELECT doc_id, h % 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+      FROM sigs GROUP BY doc_id, h % 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+SIMHASH_SQL = r"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+      FROM uni
+    ),
+    hv AS (
+      SELECT doc_id, tok,
+             CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM hv, (SELECT unnest(range(0, 64)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig_u AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS HUGEINT) AS u
+      FROM bits GROUP BY doc_id
+    ),
+    sig AS (  -- two's-complement into int64, like the engine's numpy path
+      SELECT doc_id, CAST(u AS UBIGINT) AS u,
+             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+      FROM sig_u
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (u >> (band * 16)) & 65535 AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_lsh_pairs", LSH_PAIRS_SQL)
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding, value-checked (was rows-only in round 1):
+    band keys are md5-over-sorted-minhashes, reproducible in SQL."""
     from lnex_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -757,14 +884,25 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4)
 
 
-@register("dedup_simhash")
+@register("dedup_simhash", SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, value-checked (was rows-only in round 1):
+    md5-derived 64-bit token hashes + majority vote + banded Hamming
+    join, re-derived independently in SQL.  Input restricted to
+    doc_id < 200 to match the SQL twin's bounded self-join."""
     from lnex_spark.operators.dedup import simhash_near_dups, simhash_signatures
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 200)
+    dup = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
     sigs = simhash_signatures(d.unionByName(dup))
-    return simhash_near_dups(sigs, max_hamming=3)
+    return simhash_near_dups(sigs, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 _ANN_TOPK_SQL = """
@@ -807,17 +945,113 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(e, q, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_cosine_lsh")
+# Shared SQL fragment: md5-derived ±1 (Rademacher) hyperplane LSH
+# signatures over integer-quantized vectors — bit-identical to
+# similarity.lsh_signatures_rademacher (exact integer dot products, no
+# float summation-order hazard).  __SRC__ is the vector CTE name.
+_RADEMACHER_SIG_SQL = """
+    signs AS (
+      SELECT p, d,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS UINTEGER) & 1 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(0, 64)) AS d)
+    ),
+    qflat AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+      FROM __SRC__, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    ),
+    proj AS (
+      SELECT f.vec_id, s.p, sum(f.qx * s.sgn) AS dot
+      FROM qflat f JOIN signs s ON s.d = f.d GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS lsh_sig
+      FROM proj GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "ann_cosine_lsh",
+    f"""
+    WITH {_RADEMACHER_SIG_SQL.replace('__SRC__', 'embeddings')},
+    cand AS (
+      SELECT q.vec_id AS query_id, e.vec_id
+      FROM sigs q JOIN sigs e ON q.lsh_sig = e.lsh_sig AND e.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    pflat AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+             CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS y
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.vec_id,
+      LATERAL (SELECT unnest(range(1, 65)) AS i)
+    ),
+    dots AS (
+      SELECT query_id, vec_id, sum(x * y) AS dot,
+             sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+      FROM pflat GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) AS rank
+      FROM dots
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k, value-checked (was rows-only in round 1): Rademacher
+    planes make the bucket assignment reproducible in SQL, so DuckDB
+    re-derives candidates + exact re-rank independently."""
     from lnex_spark.operators.similarity import cosine_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return cosine_topk_lsh(e, q, dim=64, k=5, n_planes=8)
+    return cosine_topk_lsh(e, q, dim=64, k=5, n_planes=8, planes="rademacher").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
-@register("embedding_near_dups")
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH uni AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    {_RADEMACHER_SIG_SQL.replace('__SRC__', 'uni')},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+    ),
+    pflat AS (
+      SELECT p.vec_a, p.vec_b,
+             CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+             CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS y
+      FROM pairs p
+      JOIN uni a ON a.vec_id = p.vec_a
+      JOIN uni b ON b.vec_id = p.vec_b,
+      LATERAL (SELECT unnest(range(1, 65)) AS i)
+    ),
+    dots AS (
+      SELECT vec_a, vec_b, sum(x * y) AS dot,
+             sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+      FROM pflat GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (nx * ny), 6) AS cosine
+    FROM dots WHERE round(dot / (nx * ny), 6) >= 0.95
+    """,
+)
 def embedding_near_dups_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs, value-checked (was rows-only in round 1) —
+    same Rademacher-plane trick as ann_cosine_lsh; the planted exact
+    copies always share every bucket, so the check is non-vacuous."""
     from lnex_spark.operators.similarity import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
@@ -825,7 +1059,13 @@ def embedding_near_dups_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = e.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return embedding_near_dups(e.select("vec_id", "embedding").unionByName(dup), threshold=0.95)
+    return embedding_near_dups(
+        e.select("vec_id", "embedding").unionByName(dup),
+        threshold=0.95,
+        dim=64,
+        n_planes=8,
+        planes="rademacher",
+    )
 
 
 @register(
@@ -936,9 +1176,59 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             text,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS payload_md5
+      FROM documents
+    ),
+    chars AS (
+      SELECT media_id, CAST(i % 8 AS INT) AS feat_idx,
+             ord(substr(text, CAST(i AS INT) + 1, 1)) AS cp
+      FROM m, LATERAL (SELECT unnest(range(0, length(text))) AS i)
+    ),
+    stride AS (
+      SELECT media_id, feat_idx,
+             CAST(floor(avg(cp) * 1000000.0) AS BIGINT) AS feat_scaled
+      FROM chars GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT media_id, kind, n_bytes, payload_md5, CAST(j AS INT) AS feat_idx
+      FROM m, LATERAL (SELECT unnest(range(0, 8)) AS j)
+    )
+    SELECT g.media_id, g.kind, g.n_bytes, g.payload_md5, g.feat_idx,
+           coalesce(s.feat_scaled, 0) AS feat_scaled
+    FROM grid g LEFT JOIN stride s USING (media_id, feat_idx)
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow decode plumbing, value-checked end-to-end: the stub
+    features are strided code-point means, which the DuckDB oracle
+    recomputes in SQL (avg(ord) by position % 8).  The array column is
+    posexploded to scalar rows — a pandas-based canonicalizer cannot
+    sort list cells (round-1 driver crash) — and the double is
+    floor-scaled to a BIGINT so float formatting can't diverge (both
+    engines floor the bit-identical double)."""
     from lnex_spark.operators.multimodal import decode_features, synthesize_media
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_features(synthesize_media(docs))
+    feats = decode_features(synthesize_media(docs))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_md5",
+        F.posexplode("feature").alias("feat_idx", "feat_value"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_md5",
+        "feat_idx",
+        F.floor(F.col("feat_value") * 1000000.0).cast("long").alias("feat_scaled"),
+    )

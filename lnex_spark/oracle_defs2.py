@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lnex_spark.oracles import register
+from lnex_spark import oracle_defs as _defs1
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -243,36 +244,7 @@ def first_mention_flags_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 
-@register(
-    "dedup_lsh_pairs_sql",
-    r"""
-    WITH uni AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
-    ),
-    toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM uni
-    ),
-    pos AS (
-      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
-    ),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos),
-    sigs AS (
-      SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM sh, (SELECT unnest(range(0, 8)) AS h)
-      GROUP BY doc_id, h
-    ),
-    banded AS (
-      SELECT doc_id, h % 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
-      FROM sigs GROUP BY doc_id, h % 4
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
-)
+@register("dedup_lsh_pairs_sql", _defs1.LSH_PAIRS_SQL)
 def dedup_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding, value-checked: the engine's band keys are
     md5-over-sorted-minhashes, reproducible in SQL (dedup.py design)."""
@@ -286,51 +258,7 @@ def dedup_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4)
 
 
-@register(
-    "dedup_simhash_sql",
-    r"""
-    WITH uni AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < 200
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
-    ),
-    toks AS (
-      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
-      FROM uni
-    ),
-    hv AS (
-      SELECT doc_id, tok,
-             CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
-      FROM toks
-    ),
-    bits AS (
-      SELECT doc_id, b,
-             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-      FROM hv, (SELECT unnest(range(0, 64)) AS b)
-      GROUP BY doc_id, b
-    ),
-    sig_u AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS HUGEINT) AS u
-      FROM bits GROUP BY doc_id
-    ),
-    sig AS (  -- two's-complement into int64, like the engine's numpy path
-      SELECT doc_id, CAST(u AS UBIGINT) AS u,
-             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
-      FROM sig_u
-    ),
-    banded AS (
-      SELECT doc_id, simhash, band,
-             (u >> (band * 16)) & 65535 AS key
-      FROM sig, (SELECT unnest(range(0, 4)) AS band)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
+@register("dedup_simhash_sql", _defs1.SIMHASH_SQL)
 def dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, value-checked: md5-derived 64-bit token
     hashes + majority vote + banded Hamming join, re-derived in SQL.
@@ -404,50 +332,7 @@ def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 
-@register(
-    "t3_hashtag_segment_sql",
-    r"""
-    WITH lm AS (
-      SELECT tok AS w, count(*) AS c
-      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents)
-      WHERE len(tok) > 0 GROUP BY tok
-    ),
-    tot AS (SELECT sum(c) AS t FROM lm),
-    tags AS (
-      SELECT doc_id,
-             list_extract(string_split_regex(lower(trim(text)), '\s+'), 1)
-          || list_extract(string_split_regex(lower(trim(text)), '\s+'), 2) AS body
-      FROM documents
-      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
-    ),
-    splits AS (
-      SELECT doc_id, body, i,
-             substr(body, 1, CAST(i AS INT)) AS head,
-             substr(body, CAST(i AS INT) + 1) AS tail
-      FROM (SELECT doc_id, body, unnest(range(1, len(body))) AS i FROM tags)
-    ),
-    cand AS (
-      SELECT g.doc_id, g.body, 0 AS i, g.body AS seg,
-             CASE WHEN w0.c IS NOT NULL THEN w0.c * 1.0 / t
-                  ELSE 10.0 / (t * power(10, len(g.body))) END AS score
-      FROM tags g CROSS JOIN tot LEFT JOIN lm w0 ON w0.w = g.body
-      UNION ALL
-      SELECT s.doc_id, s.body, CAST(s.i AS INT) AS i, s.head || ' ' || s.tail AS seg,
-             (CASE WHEN h.c IS NOT NULL THEN h.c * 1.0 / t
-                   ELSE 10.0 / (t * power(10, len(s.head))) END)
-           * (CASE WHEN tl.c IS NOT NULL THEN tl.c * 1.0 / t
-                   ELSE 10.0 / (t * power(10, len(s.tail))) END) AS score
-      FROM splits s CROSS JOIN tot
-      LEFT JOIN lm h  ON h.w  = s.head
-      LEFT JOIN lm tl ON tl.w = s.tail
-    )
-    SELECT doc_id, '#' || body AS hashtag, seg AS segmented FROM (
-      SELECT doc_id, body, seg,
-             row_number() OVER (PARTITION BY doc_id, body
-                                ORDER BY score DESC, i ASC) AS rk
-      FROM cand) WHERE rk = 1
-    """,
-)
+@register("t3_hashtag_segment_sql", _defs1.T3_SEGMENT_SQL)
 def t3_hashtag_segment_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashtag segmentation value-checked against a restricted SQL
     argmax. Soundness of the restriction: hashtags here are two
