@@ -68,18 +68,37 @@ def _grams(t, n: int):
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, h in 0..k-1, minhash): minhash_i = min(md5(i || ':' ||
     shingle)). md5-as-hex min over strings ≡ min over the 128-bit
-    integer — stable across engines."""
-    sh = shingles(docs, n, text_col)
-    hashes = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))).alias("hv"),
+    integer — stable across engines.
+
+    Round-2 plan rewrite (was: explode(sequence(0,k-1)) then
+    groupBy(doc_id, h) — the exchange carried k× the shingle volume):
+    ONE groupBy(doc_id) with k ``min`` aggregate columns, the k hashes
+    computed inline map-side, then an unpivot of the k-ary result.
+    The shuffle now carries one k-column row per doc per partition.
+    The shingle ``distinct()`` shuffle is also gone: ``min`` is
+    idempotent over duplicates, so the minhash over the shingle
+    multiset equals the minhash over the distinct set — dedup via
+    ``array_distinct`` map-side only, no exchange."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", toks.alias("_toks")).where(F.size(F.col("_toks")) >= n)
+    sh = base.select(
+        "doc_id", F.explode(F.array_distinct(_grams(F.col("_toks"), n))).alias("shingle")
     )
-    return hashes.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_mh{i}")
+            for i in range(k)
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(F.lit(i).cast("int").alias("h"), F.col(f"_mh{i}").alias("minhash"))
+            for i in range(k)
+        ]
+    )
+    return wide.select("doc_id", F.explode(structs).alias("_s")).select(
+        "doc_id", F.col("_s.h").alias("h"), F.col("_s.minhash").alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
@@ -195,36 +214,43 @@ def jaccard_pairs(
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc (vectorized pandas UDF; md5-derived
-    per-token 64-bit hashes, majority vote per bit)."""
-    import hashlib
+    """64-bit SimHash per doc — fully relational since round 2 (the
+    round-1 pandas UDF looped Python-side over tokens with one
+    hashlib.md5 call each; at 100 TB that loop IS the stage).
 
-    import numpy as np
-
-    @F.pandas_udf("long")
-    def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                hv = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (hv >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= 1 << b
-            # two's-complement into int64
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.Series(out)
-
-    return docs.select("doc_id", simhash(F.col(text_col)).alias("simhash"))
+    Plan: explode tokens → JVM-side md5 → split the first 16 hex chars
+    into two 32-bit halves (``conv`` hex→decimal; each half fits a
+    long) → 64 ``sum(bit*2-1)`` aggregate columns in ONE
+    groupBy(doc_id) (map-side partial: the exchange carries one 64-ary
+    row per doc per partition, not 64× the token volume) → reassemble
+    the signature with bit 63 as -(2^63) for two's-complement.  Every
+    step is whole-stage-codegen built-ins; bit values are identical to
+    the old UDF (hv = big-endian first 8 md5 bytes, bit b = (hv>>b)&1,
+    majority vote acc>0), so the DuckDB oracle is unchanged."""
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("w", F.lit(1))
+    )
+    # zero-weight sentinel per doc keeps empty/whitespace-only/null texts
+    # in the aggregate (their acc stays 0 → sig 0, like the old UDF)
+    # without a doc-spine join after the groupBy
+    sentinel = docs.select("doc_id", F.lit("").alias("tok"), F.lit(0).alias("w"))
+    tok = tok.unionByName(sentinel)
+    h16 = F.substring(F.md5("tok"), 1, 16)
+    hi = F.conv(F.substring(h16, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h16, 9, 8), 16, 10).cast("long")
+    aggs = []
+    for b in range(64):
+        src, sh = (lo, b) if b < 32 else (hi, b - 32)
+        bit = F.shiftrightunsigned(src, sh).bitwiseAND(F.lit(1))
+        aggs.append(F.sum((bit * 2 - 1) * F.col("w")).alias(f"_a{b}"))
+    wide = tok.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        term = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        sig = sig + F.when(F.col(f"_a{b}") > 0, term).otherwise(F.lit(0))
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

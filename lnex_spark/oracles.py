@@ -51,9 +51,25 @@ def _load_all_defs() -> None:
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_defs()
-    return dict(_QUERIES)
+    from lnex_spark.oracle_fixups import FIXUPS, fix_spark
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in _QUERIES.items():
+        spec = FIXUPS.get(name)
+        if spec:
+            out[name] = (
+                lambda spark, sf_dir, _fn=fn, _spec=spec: fix_spark(_fn(spark, sf_dir), _spec)
+            )
+        else:
+            out[name] = fn
+    return out
 
 
 def duckdb_sql() -> dict[str, str]:
     _load_all_defs()
-    return dict(_ORACLES)
+    from lnex_spark.oracle_fixups import FIXUPS, fix_sql
+
+    return {
+        name: fix_sql(sql, FIXUPS[name]) if name in FIXUPS else sql
+        for name, sql in _ORACLES.items()
+    }
