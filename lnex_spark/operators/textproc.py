@@ -23,12 +23,28 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 
+# Twokenize-parity notes (reference LNEx/tokenizer.py is the ARK
+# Twokenize port; emoticon/unicode classes hardened in round 2):
+#   * emoticons — including letter-bearing ones like :D :-p xD — are
+#     ONE break token, not punct+word (":-D" must not leak a matchable
+#     "d" token into n-gram growth); the trailing (?![A-Za-z0-9])
+#     guard keeps emoticon eyes/mouths from biting into real words
+#     ("XDR" stays a word, "x-ray" is not "x-eyes + nose + …");
+#   * words are unicode-aware ([^\W\d_] = any letter): "café" is one
+#     token, not "caf" + punct, and unicode punctuation (em-dash,
+#     curly quotes, ellipsis) falls through to the punct break class.
 _TOKEN_RE = re.compile(
     r"""
     (?P<url>https?://\S+|www\.\S+)
+  | (?P<emoticon>
+        (?:[<♥❤]3)                              # hearts <3 ♥3 ❤3
+      | (?:[:;=8xX][\-o^*']?[)\](\[dDpP/\\|oO3*@$}{])     # eyes-nose-mouth
+      | (?:[)\](\[dD/\\|}{][\-o^*']?[:;=8xX])             # mouth-first
+      | (?:\^_+\^)
+    )(?![A-Za-z0-9])
   | (?P<mention>@\w+)
   | (?P<hashtag>\#\w+)
-  | (?P<word>[A-Za-z](?:[A-Za-z'])*)
+  | (?P<word>[^\W\d_](?:[^\W\d_]|')*)
   | (?P<num>\d+\w*)
   | (?P<punct>[^\sA-Za-z0-9@#])
     """,

@@ -160,3 +160,51 @@ def test_extract_df_adversarial_rows(spark, fixture_data):
         assert all(r["turn_idx"] not in (0, 1, 2) for r in got)
         for r in got:
             assert rows[r["turn_idx"]][2][r["start"] : r["end"]] == r["surface"]
+
+
+# --- round-2 Twokenize-parity hardening: emoticons & unicode ------------
+
+
+def test_emoticons_are_single_break_tokens():
+    text = "flooding :-D near adyar :'( <3 ^_^ ;)"
+    toks = tokenize_with_spans(text)
+    kinds = {raw: kind for raw, _s, _e, kind in toks}
+    assert kinds[":-D"] == "emoticon"
+    assert kinds[":'("] == "emoticon"
+    assert kinds["<3"] == "emoticon"
+    assert kinds["^_^"] == "emoticon"
+    assert kinds[";)"] == "emoticon"
+    # the letter-bearing emoticon must NOT leak a matchable "d" word
+    assert "D" not in kinds and "d" not in kinds
+
+
+def test_emoticon_guard_protects_words():
+    toks = tokenize_with_spans("XDR x-ray xD")
+    by_raw = [(raw, kind) for raw, _s, _e, kind in toks]
+    assert ("XDR", "word") in by_raw      # no mid-word emoticon bite
+    assert ("x", "word") in by_raw        # "x-ray" is word punct word
+    assert ("xD", "emoticon") in by_raw   # standalone stays an emoticon
+
+
+def test_emoticon_breaks_ngram_adjacency():
+    full, pref, mx = _struct(["adyar river"])
+    # the emoticon separates the two tokens: no cross-break match
+    got = extract_mentions("adyar :-) river", full, pref, mx, None)
+    assert got == []
+    got2 = extract_mentions("adyar river", full, pref, mx, None)
+    assert [m[3] for m in got2] == ["adyar river"]
+
+
+def test_unicode_words_and_punct():
+    toks = tokenize_with_spans("café—river 'x' …done")
+    by_raw = {raw: kind for raw, _s, _e, kind in toks}
+    assert by_raw["café"] == "word"       # one token, not caf + punct
+    assert by_raw["—"] == "punct"         # em-dash breaks adjacency
+    assert by_raw["…"] == "punct"
+    assert by_raw["river"] == "word"
+
+
+def test_spans_roundtrip_adversarial():
+    text = "RT :-p @u café <3 #tag x) ^___^ … 8)ok"
+    for raw, s, e, _kind in tokenize_with_spans(text):
+        assert text[s:e] == raw
