@@ -1,0 +1,304 @@
+"""Pure numpy/stdlib media codecs — the REAL decode path for multimodal
+columns (no PIL/librosa/av needed).
+
+Round 1 stubbed all media decoding because the usual wheels are absent.
+That left the plumbing real but the compute fake.  These codecs close
+that gap for the formats a pure-Python engine can honestly own:
+
+  * BMP  — 24-bit uncompressed (BITMAPFILEHEADER + BITMAPINFOHEADER,
+           bottom-up rows, BGR byte order, 4-byte row padding)
+  * PPM  — P6 binary RGB (netpbm), PGM — P5 binary grayscale
+  * WAV  — RIFF/WAVE, PCM 16-bit little-endian (mono or interleaved)
+  * VID0 — a deliberately trivial video container for frame-extraction
+           plumbing: magic ``VID0`` + u16 frame count + per-frame u32
+           length prefix + concatenated P6 frames.  Public formats
+           (MP4/H.264) genuinely need native decoders; VID0 keeps the
+           *engine-side* work (byte slicing, per-frame decode, frame
+           sampling) real while the codec stays dependency-free.
+
+Compressed formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError —
+that is the honest env-gate; everything here is real pixel/sample math.
+
+All decoders operate on ``bytes`` and return numpy arrays, so they
+vectorize naturally inside Arrow batches (mapInPandas): the per-row loop
+is over variable-length payloads, but all per-element work is numpy.
+
+Reference parity note: halolimat/LNEx has no media path; these operators
+implement the training-data-pipeline brief (multimodal columns as opaque
+binary + typed metadata, decode/feature/resize/frame-sample as Arrow
+UDFs) — see SURVEY.md §2 "LLM-data-pipeline operators".
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER = struct.Struct("<2sIHHI")  # magic, file size, res1, res2, pixel offset
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BMP.
+
+    BMP stores rows bottom-up, pixels as BGR, each row padded to a
+    4-byte boundary — all three are classic decode bugs, so the round
+    trip test pins them.
+    """
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError(f"encode_bmp wants (H, W, 3), got {px.shape}")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = px[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    offset = _BMP_HEADER.size + _BMP_INFO.size
+    header = _BMP_HEADER.pack(b"BM", offset + len(body), 0, 0, offset)
+    info = _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (H, W, 3) uint8 RGB."""
+    magic, _, _, _, offset = _BMP_HEADER.unpack_from(b, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    _, w, h, _, bpp, comp = _BMP_INFO.unpack_from(b, _BMP_HEADER.size)[:6]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    flip = h > 0  # negative height = top-down rows (rare but legal)
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=offset).reshape(h, stride)
+    bgr = rows[:, :row_bytes].reshape(h, w, 3)
+    if flip:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR->RGB
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) / PGM (P5)
+# ---------------------------------------------------------------------------
+
+
+def _pnm_header(b: bytes):
+    """Parse a netpbm header (magic, width, height, maxval) honoring
+    whitespace runs and ``#`` comment lines; returns (magic, w, h,
+    maxval, body_offset)."""
+    fields, i, n = [], 2, len(b)
+    magic = b[:2]
+    while len(fields) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < n and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    return magic, w, h, maxval, i
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as binary P6 PPM."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    magic, w, h, maxval, off = _pnm_header(b)
+    if magic != b"P6" or maxval != 255:
+        raise NotImplementedError("only 8-bit P6 PPM")
+    return np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=off).reshape(h, w, 3).copy()
+
+
+def encode_pgm(px: np.ndarray) -> bytes:
+    """Encode (H, W) uint8 grayscale as binary P5 PGM."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_pgm(b: bytes) -> np.ndarray:
+    magic, w, h, maxval, off = _pnm_header(b)
+    if magic != b"P5" or maxval != 255:
+        raise NotImplementedError("only 8-bit P5 PGM")
+    return np.frombuffer(b, dtype=np.uint8, count=h * w, offset=off).reshape(h, w).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit LE)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode int16 samples (frames × channels interleaved, or 1-D mono)
+    as a canonical RIFF/WAVE PCM16 file."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    block = 2 * channels
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode RIFF/WAVE PCM16 → (samples int16 [frames, channels] or
+    1-D mono, sample_rate, channels).  Walks RIFF chunks properly (a
+    LIST/fact chunk before ``data`` is legal), rather than assuming a
+    fixed 44-byte layout."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(b)
+    rate = channels = bits = None
+    data = None
+    while i + 8 <= n:
+        cid, clen = struct.unpack_from("<4sI", b, i)
+        i += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, i)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(f"only PCM16 (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = b[i : i + clen]
+        i += clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    s = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        s = s.reshape(-1, channels)
+    return s.copy(), int(rate), int(channels)
+
+
+# ---------------------------------------------------------------------------
+# VID0 — trivial frame container (length-prefixed P6 frames)
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"VID0"
+
+
+def encode_vid(frames: list[np.ndarray]) -> bytes:
+    """Pack (H, W, 3) uint8 frames into the VID0 container."""
+    out = [_VID_MAGIC, struct.pack("<H", len(frames))]
+    for f in frames:
+        enc = encode_ppm(f)
+        out.append(struct.pack("<I", len(enc)))
+        out.append(enc)
+    return b"".join(out)
+
+
+def vid_frame_count(b: bytes) -> int:
+    if b[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    return struct.unpack_from("<H", b, 4)[0]
+
+
+def iter_vid_frames(b: bytes):
+    """Yield (frame_no, (H, W, 3) ndarray) by walking length prefixes —
+    real byte slicing, no index table, O(total bytes)."""
+    n = vid_frame_count(b)
+    off = 6
+    for k in range(n):
+        (flen,) = struct.unpack_from("<I", b, off)
+        off += 4
+        yield k, decode_ppm(b[off : off + flen])
+        off += flen
+
+
+def decode_vid_frame(b: bytes, k: int) -> np.ndarray:
+    for i, f in iter_vid_frames(b):
+        if i == k:
+            return f
+    raise IndexError(f"frame {k} out of range")
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + transforms
+# ---------------------------------------------------------------------------
+
+
+def sniff(b: bytes) -> str:
+    """Identify a payload by magic bytes. ``unknown`` is the env-gate:
+    compressed formats need native decoders this container lacks."""
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"P5":
+        return "pgm"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == _VID_MAGIC:
+        return "vid0"
+    return "unknown"
+
+
+def decode_image(b: bytes) -> np.ndarray:
+    """Decode any supported still-image payload to (H, W, C) uint8."""
+    kind = sniff(b)
+    if kind == "bmp":
+        return decode_bmp(b)
+    if kind == "ppm":
+        return decode_ppm(b)
+    if kind == "pgm":
+        return decode_pgm(b)[:, :, None]
+    raise NotImplementedError(
+        f"no pure-Python decoder for {kind!r} payloads (JPEG/PNG need PIL)"
+    )
+
+
+def resize_nn(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps — one fancy-index
+    gather, no Python per-pixel loop.  src index = floor(dst * src/dst),
+    the standard NN convention (matches cv2.INTER_NEAREST for integral
+    scale factors)."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows[:, None], cols[None, :]]
+
+
+def luminance_histogram(px: np.ndarray, bins: int = 8) -> np.ndarray:
+    """Integer luminance (ITU-R BT.601, 8-bit fixed point: the exact
+    (77R + 150G + 29B) >> 8) histogram — integer-exact, so an oracle
+    can reproduce it without float drift."""
+    p = px.astype(np.int64)
+    if p.ndim == 3 and p.shape[2] == 3:
+        y = (77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]) >> 8
+    else:
+        y = p.reshape(p.shape[0], p.shape[1])
+    return np.bincount((y.ravel() * bins) >> 8, minlength=bins)
+
+
+def audio_stats(samples: np.ndarray) -> dict:
+    """Integer-exact audio statistics: sample sum, |sample| sum, peak,
+    strict sign-change zero crossings."""
+    s = samples.astype(np.int64).ravel()
+    zc = int(np.count_nonzero(s[:-1] * s[1:] < 0)) if s.size > 1 else 0
+    return {
+        "n_samples": int(s.size),
+        "amp_sum": int(s.sum()),
+        "abs_sum": int(np.abs(s).sum()),
+        "peak": int(np.abs(s).max()) if s.size else 0,
+        "zero_cross": zc,
+    }
