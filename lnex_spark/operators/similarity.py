@@ -135,12 +135,23 @@ def cosine_topk_lsh(
     n_planes: int = 12,
     seed: int = 42,
     planes: str = "gaussian",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing the query's LSH
-    bucket (single-probe), re-ranked exactly. Recall grows with fewer
-    planes / multi-probe; the join is bucket-equi, never all-pairs.
+    bucket, re-ranked exactly. The join is bucket-equi, never all-pairs.
     ``planes='rademacher'`` swaps in the SQL-reproducible integer
-    signature (lsh_signatures_rademacher) — same plan shape."""
+    signature (lsh_signatures_rademacher) — same plan shape.
+
+    ``probe_bits`` enables multi-probe LSH (Lv et al., VLDB 2007 idea in
+    its simplest Hamming-ball form): each query also probes every bucket
+    whose signature differs in ≤ probe_bits bits.  probe_bits=1 expands
+    the broadcast-side query set ×(n_planes+1) — still tiny, queries are
+    the small side — and lifts recall from the single-probe cliff
+    (collision prob p^n_planes) to ~(p + n_planes·(1-p)·p)·p^(n_planes-1)
+    without touching the corpus-side plan: same single shuffle-free
+    broadcast equi-join, candidates deduped before re-rank."""
+    if probe_bits > 2:
+        raise ValueError("probe_bits > 2 explodes the probe set; use fewer planes instead")
     if planes == "rademacher":
         _sigs = lambda df: lsh_signatures_rademacher(df, dim, n_planes)
     else:
@@ -151,9 +162,24 @@ def cosine_topk_lsh(
     q = _sigs(queries).select(
         F.col("query_id"), F.col("lsh_sig").alias("sig_q"), _as_double(F.col("embedding")).alias("emb_q")
     )
+    if probe_bits >= 1:
+        # probe signatures = sig XOR every mask of popcount <= probe_bits;
+        # built as an array column and exploded on the (broadcast) query side
+        masks = [0] + [1 << j for j in range(n_planes)]
+        if probe_bits == 2:
+            masks += [
+                (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+            ]
+        q = q.withColumn(
+            "sig_q",
+            F.explode(F.array([F.col("sig_q").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     cand = e.join(F.broadcast(q), F.col("sig_e") == F.col("sig_q")).filter(
         F.col("vec_id") != F.col("query_id")
     )
+    if probe_bits >= 1:
+        # a vector can land in several probed buckets of the same query
+        cand = cand.dropDuplicates(["query_id", "vec_id"])
     scored = cand.select(
         "query_id", "vec_id", F.round(_cosine(F.col("emb_q"), F.col("emb_e")), 6).alias("cosine")
     )

@@ -1018,6 +1018,54 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_lsh_multiprobe",
+    f"""
+    WITH {_RADEMACHER_SIG_SQL.replace('__SRC__', 'embeddings')},
+    cand AS (
+      SELECT q.vec_id AS query_id, e.vec_id
+      FROM sigs q JOIN sigs e
+        ON bit_count(xor(q.lsh_sig, e.lsh_sig)) <= 1 AND e.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    pflat AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+             CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS y
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.vec_id,
+      LATERAL (SELECT unnest(range(1, 65)) AS i)
+    ),
+    dots AS (
+      SELECT query_id, vec_id, sum(x * y) AS dot,
+             sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+      FROM pflat GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) AS rank
+      FROM dots
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (probe_bits=1 Hamming ball): fixes the
+    single-probe recall cliff the round-1 verdict flagged.  The oracle
+    re-derives the Hamming-≤1 candidate set from the same integer
+    Rademacher signatures (bit_count(xor(...)) <= 1), so the probe
+    expansion itself is value-checked, not just the re-rank."""
+    from lnex_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_lsh(
+        e, q, dim=64, k=5, n_planes=8, planes="rademacher", probe_bits=1
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
     "embedding_near_dups",
     f"""
     WITH uni AS (

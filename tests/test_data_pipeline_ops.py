@@ -107,6 +107,30 @@ def test_lsh_topk_contains_exact_copy(emb):
     assert 20 in ids  # identical vector always shares every bucket
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(emb):
+    """probe_bits=1 candidate set is a superset of single-probe (Hamming-0
+    ⊂ Hamming-≤1), so recall vs brute force can only go up."""
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_lsh(emb, q, dim=16, k=5, n_planes=6).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_lsh(
+            emb, q, dim=16, k=5, n_planes=6, probe_bits=1
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert (0, 20) in multi  # identical vector still found
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_lsh(emb, q, dim=16, probe_bits=3)
+
+
 def test_embedding_near_dups(emb):
     got = {(r["vec_a"], r["vec_b"]) for r in similarity.embedding_near_dups(emb, threshold=0.99).collect()}
     assert (0, 20) in got and (0, 21) in got
