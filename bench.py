@@ -163,6 +163,23 @@ def main() -> None:
     run("asof_join", lambda: asof_join_backward(clicks, errors, on=["user_id"]).count())
     run("ann_ivf", lambda: cosine_topk_ivf(emb, q, n_cells=16, nprobe=2, k=10).count())
 
+    # real media decode (r2): synthesize encoded BMP/PPM/WAV/VID0 payloads
+    # and run the full decode+stats Arrow stage; timing covers encode+decode
+    # so it lower-bounds pure decode throughput
+    from lnex_spark.operators.multimodal import (
+        audio_stats_op,
+        image_stats,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(docs)
+    run(
+        "media_decode",
+        lambda: image_stats(media).unionByName(
+            audio_stats_op(media), allowMissingColumns=True
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     spark.catalog.clearCache()
     print(

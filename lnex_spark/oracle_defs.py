@@ -1280,3 +1280,214 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat_idx",
         F.floor(F.col("feat_value") * 1000000.0).cast("long").alias("feat_scaled"),
     )
+
+
+# ======================================================================
+# Round-2 additions: dedicated driver-visible checks for the four §2A
+# ops the round-1 verdict listed as "exercised only indirectly"
+# (G1 gaz_scan, G4 skipgram_augment, M3 offset_align, K2 graph_write).
+# Each exercises the REAL engine code path, not a re-derivation.
+# ======================================================================
+
+
+# --- G1 gaz_scan: bbox-scoped gazetteer scan (engine scan_gazetteer) ----
+@register(
+    "g1_gaz_scan",
+    """
+    WITH gaz AS (
+      SELECT c_custkey AS geo_id, c_name AS name,
+             (c_custkey % 170) - 85 + 0.25 AS lat,
+             (c_custkey % 350) - 175 + 0.5 AS lon
+      FROM customer
+    )
+    SELECT geo_id, name, lat, lon FROM gaz
+    WHERE lat BETWEEN 0 AND 45 AND lon BETWEEN 60 AND 100
+    """,
+)
+def g1_gaz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 via the engine's scan_gazetteer (gazetteer/build.py) — bbox
+    predicate over a gazetteer-shaped table (reference semantics:
+    LNEx/osm_gazetteer.py build_bb_gazetteer ES range query; here a
+    pruned columnar scan).  Synthetic lat/lon are exact binary
+    fractions (x.25 / y.5) so the float hash cannot diverge."""
+    from lnex_spark.gazetteer.build import scan_gazetteer
+
+    c = _t(spark, sf_dir, "customer")
+    gaz = c.select(
+        F.col("c_custkey").alias("geo_id"),
+        F.col("c_name").alias("name"),
+        ((F.col("c_custkey") % 170) - 85 + F.lit(0.25)).alias("lat"),
+        ((F.col("c_custkey") % 350) - 175 + F.lit(0.5)).alias("lon"),
+    )
+    return scan_gazetteer(spark, gaz, bbox=[0.0, 60.0, 45.0, 100.0]).select(
+        "geo_id", "name", "lat", "lon"
+    )
+
+
+# --- G4 skipgram_augment: the real variants pandas UDF, value-checked ---
+def _g4_sql() -> str:
+    from lnex_spark.gazetteer.augment import (
+        CATEGORY_WORDS,
+        MODIFIER_WORDS,
+        NAME_STOPWORDS,
+    )
+
+    removable = ", ".join(
+        f"'{w}'" for w in sorted(CATEGORY_WORDS | MODIFIER_WORDS | NAME_STOPWORDS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT p_partkey, list_extract(string_split(lower(p_name), ' '), 1) AS tok
+      FROM part
+    ),
+    ok AS (SELECT * FROM base WHERE tok NOT IN ({removable}))
+    SELECT p_partkey,
+           unnest(CASE WHEN p_partkey % 2 = 0
+                  THEN [tok, tok || ' airport', tok || ' international']
+                  ELSE [tok, 'the ' || tok, tok || ' mall'] END) AS variant
+    FROM ok
+    """
+
+
+@register("g4_skipgram_augment", _g4_sql())
+def g4_skipgram_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 via the engine's _variants_udf (gazetteer/build.py — the one
+    pandas UDF of the gazetteer build, wrapping augment.name_variants;
+    reference: LNEx/gaz_augmentation_and_filtering.py per SURVEY §0).
+    Names are constructed with a known removable-token shape
+    ("<tok> international airport" / "the <tok> mall") whose full HP
+    variant set is enumerable in SQL; lead tokens that are themselves
+    removable are excluded on BOTH sides with the same literal list,
+    so the subset semantics line up exactly."""
+    from lnex_spark.gazetteer.augment import (
+        CATEGORY_WORDS,
+        MODIFIER_WORDS,
+        NAME_STOPWORDS,
+    )
+    from lnex_spark.gazetteer.build import _variants_udf
+
+    removable = sorted(CATEGORY_WORDS | MODIFIER_WORDS | NAME_STOPWORDS)
+    p = _t(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey", F.element_at(F.split(F.lower("p_name"), " "), 1).alias("tok")
+    ).filter(~F.col("tok").isin(removable))
+    norm = F.when(
+        F.col("p_partkey") % 2 == 0,
+        F.concat_ws(" ", F.col("tok"), F.lit("international airport")),
+    ).otherwise(F.concat_ws(" ", F.lit("the"), F.col("tok"), F.lit("mall")))
+    return base.select(
+        "p_partkey", F.explode(_variants_udf(norm)).alias("variant")
+    )
+
+
+# --- M3 offset_align: engine tokenizer spans vs independent SQL offsets --
+@register(
+    "m3_offset_align",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS clean
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(string_split(clean, ' ')) AS token,
+             generate_subscripts(string_split(clean, ' '), 1) AS i
+      FROM c WHERE len(clean) > 0
+    ),
+    o AS (
+      SELECT doc_id, token, i,
+             CAST(coalesce(sum(len(token) + 1) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+               AS tok_start
+      FROM t
+    )
+    SELECT doc_id, token, tok_start,
+           CAST(tok_start + len(token) AS INT) AS tok_end
+    FROM o WHERE token <> 'rt'
+    """,
+)
+def m3_offset_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: character-offset alignment of the REAL tokenizer
+    (textproc.build_token_stream — the same spans the matcher reports;
+    reference: LNEx/tokenizer.py span bookkeeping).  Input is
+    constrained to [a-z ]+ single-spaced text so an independent SQL
+    cumulative-length derivation predicts every span; the engine's
+    'rt' skip-word becomes a break token and is excluded on both
+    sides.  Value-checks start/end for every token of every doc."""
+    import pandas as pd
+
+    from lnex_spark.operators.textproc import build_token_stream
+
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z]", " "), " +", " ")
+    )
+    src = d.select("doc_id", clean.alias("clean")).filter(F.length("clean") > 0)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "token": [], "tok_start": [], "tok_end": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["clean"]):
+                for norm, start, end, is_break, _g in build_token_stream(text, None):
+                    if not is_break:
+                        rows["doc_id"].append(doc_id)
+                        rows["token"].append(norm)
+                        rows["tok_start"].append(start)
+                        rows["tok_end"].append(end)
+            out = pd.DataFrame(rows)
+            yield out.astype(
+                {"doc_id": "int64", "tok_start": "int32", "tok_end": "int32"}
+            )
+
+    return src.mapInPandas(
+        gen, "doc_id long, token string, tok_start int, tok_end int"
+    )
+
+
+# --- K2 graph_write: partitioned write + readback, value-checked ---------
+@register(
+    "k2_graph_write",
+    """
+    SELECT CAST(user_id AS VARCHAR) || '#' || CAST(event_id AS VARCHAR) AS subj,
+           'performedEvent' AS pred, event_type AS obj
+    FROM events
+    UNION ALL
+    SELECT CAST(s_suppkey AS VARCHAR) AS subj, 'inNation' AS pred,
+           CAST(s_nationkey AS VARCHAR) AS obj
+    FROM supplier
+    """,
+)
+def k2_graph_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 via the engine's write_triples (operators/triples.py →
+    sources/tableformat.write_table: pred-partitioned parquet locally,
+    Iceberg on a cluster).  The check is write-then-READBACK: the
+    returned rows are read from the materialized table, so the oracle
+    verifies the partitioned write round-trips every triple byte-for-
+    byte (partition-column restore included), not just the pre-write
+    DataFrame."""
+    import os
+    import tempfile
+
+    from lnex_spark.operators.triples import write_triples
+
+    e = _t(spark, sf_dir, "events")
+    s = _t(spark, sf_dir, "supplier")
+    t1 = e.select(
+        F.concat_ws("#", "user_id", "event_id").alias("subj"),
+        F.lit("performedEvent").alias("pred"),
+        F.col("event_type").alias("obj"),
+    )
+    t2 = s.select(
+        F.col("s_suppkey").cast("string").alias("subj"),
+        F.lit("inNation").alias("pred"),
+        F.col("s_nationkey").cast("string").alias("obj"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lnex_k2_graph_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_triples(t1.unionByName(t2), path, partition_cols=["pred"], mode="overwrite")
+    return spark.read.parquet(path).select("subj", "pred", "obj")
