@@ -67,6 +67,31 @@ CHECKS = {
     # sharded greedy packing: ONE grouped-map Python island on the
     # shard key; the sequential loop never leaks into a driver collect
     "pack": dict(want=["FlatMapGroupsInPandas", "Exchange"]),
+    # r2 minhash rewrite: ONE groupBy(doc_id) with k min-columns —
+    # map-side partial_min, no join, and NO Python anywhere (tokenize,
+    # shingle, hash, min are all built-ins). min(string) buffers aren't
+    # hash-agg mutable, so the agg plans as SortAggregate — partial_min
+    # still proves the map-side combine.
+    "minhash": dict(
+        want=[r"(Hash|Sort|ObjectHash)Aggregate", r"partial_min", "Generate"],
+        forbid=["Join", "EvalPython", "MapInPandas"],
+    ),
+    # r2 simhash rewrite: fully relational — per-token md5 JVM-side,
+    # 64 partial_sum bit-vote columns in one hash agg; the round-1
+    # per-token Python loop must NOT reappear
+    "simhash": dict(
+        want=["HashAggregate", r"partial_sum"],
+        forbid=["EvalPython", "MapInPandas", "Join"],
+    ),
+    # r2 multi-probe LSH ANN: bucket-equi join after Hamming-ball
+    # probe expansion — never an all-pairs stage
+    "lsh_multiprobe": dict(
+        want=["Join", "Generate"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # r2 real media decode: synthesize + decode are chained MapInPandas
+    # islands over the same scan — ZERO exchanges end-to-end
+    "media": dict(want=["MapInPandas"], forbid=["Exchange", "Join"]),
 }
 
 
@@ -175,6 +200,15 @@ def main() -> None:
 
     plans["setsim"] = grab(prefix_filter_pairs(docs, n=3, threshold=0.5))
     plans["pack"] = grab(pack_sequences(docs))
+
+    from lnex_spark.operators.dedup import minhash_signatures, simhash_signatures
+    from lnex_spark.operators.multimodal import image_stats, synthesize_real_media
+    from lnex_spark.operators.similarity import cosine_topk_lsh
+
+    plans["minhash"] = grab(minhash_signatures(docs, k=8, n=3))
+    plans["simhash"] = grab(simhash_signatures(docs))
+    plans["lsh_multiprobe"] = grab(cosine_topk_lsh(emb, q, dim=16, probe_bits=1))
+    plans["media"] = grab(image_stats(synthesize_real_media(docs)))
 
     import re
 
