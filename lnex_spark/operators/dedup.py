@@ -258,9 +258,9 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     (a pair within distance 3 shares at least one of 4 bands exact) —
     same LSH trick, built-ins only: xor + bit_count.
 
-    Bucket-array pair unrolling (not a self-join): the signature stage
-    is a pandas UDF, and a self-join would run it twice — see
-    lsh_candidate_pairs for the pattern rationale."""
+    Bucket-array pair unrolling (not a self-join): a self-join would
+    evaluate the whole signature plan twice (64-column hash agg + its
+    exchange) — see lsh_candidate_pairs for the pattern rationale."""
     banded = sigs.select(
         "doc_id",
         "simhash",

@@ -1491,3 +1491,30 @@ def k2_graph_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_triples(t1.unionByName(t2), path, partition_cols=["pred"], mode="overwrite")
     return spark.read.parquet(path).select("subj", "pred", "obj")
+
+
+@register(
+    "avro_roundtrip_events",
+    "SELECT event_id, ts, event_type, value FROM events",
+)
+def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink fidelity (sources/avro_py.py — pure-Python OCF
+    codec over the Python Data Source API, closing SURVEY §8.2's
+    spark-avro classpath gap).  Write-then-READBACK like k2: the rows
+    returned are decoded from the deflate-compressed Avro container
+    files the sink just wrote (one OCF file per task, manifest
+    commit), so the oracle value-checks long/timestamp/string/double
+    encode→decode byte-for-byte against the parquet ground truth."""
+    import os
+    import tempfile
+
+    from lnex_spark.sources import avro_py
+
+    avro_py.register(spark)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lnex_avro_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    src = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src.write.format("avro_py").option("codec", "deflate").mode("overwrite").save(path)
+    return spark.read.format("avro_py").load(path)

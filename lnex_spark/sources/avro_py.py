@@ -1,0 +1,648 @@
+"""Pure-Python Avro Object Container File source + sink over the Spark 4
+Python Data Source API — ``spark.read.format("avro_py")`` /
+``df.write.format("avro_py")``.
+
+Why this exists: the spark-avro connector module is not on this
+sandbox's classpath (SURVEY.md §8.2 listed "Avro source/sink" as the
+env-gated gap; only the core avro jars ship with pyspark).  The Avro
+1.11 specification — binary encoding, schema JSON, and the Object
+Container File (OCF) layout — is public, stdlib-implementable, and
+small, so this module closes the gap with a REAL codec rather than a
+seam: zigzag-varint ints/longs, IEEE-LE floats, length-prefixed
+bytes/strings, ``["null", T]`` unions, block-encoded arrays,
+``timestamp-micros``/``date`` logical types, and OCF with the
+``null`` and ``deflate`` (raw RFC-1951, the spec's required pair)
+codecs.  Files written here are byte-compatible with any conformant
+Avro reader, and the reader accepts files from any conformant writer
+(within the supported type subset below).
+
+Supported Spark types (both directions): boolean, int, long, float,
+double, string, binary, timestamp (micros), date, decimal-free
+arrays of any of these; struct fields and array items may be nullable
+(encoded as ``["null", T]`` unions).  Maps/nested structs raise
+``NotImplementedError`` — none of the engine's tables need them, and
+an explicit raise beats silent misencoding.
+
+Scale design (the honest version):
+  * the writer is embarrassingly parallel — one OCF file per task,
+    rows block-buffered (``block_rows``) so memory stays bounded, and
+    the same files-then-manifest commit protocol as ``pysink``
+    (executors never write final names; ``_MANIFEST`` lands on the
+    driver only after every task succeeded, so readers see all-or-
+    nothing; speculative attempts are disambiguated by attempt id);
+  * the reader plans ONE partition per committed file.  OCF is
+    block-splittable via its 16-byte sync markers, and a JVM
+    connector splits within files; per-file parallelism is the
+    standard contract for pure-Python connectors and is lossless
+    here because the writer emits one file per upstream task —
+    write-side parallelism is preserved end-to-end;
+  * per-row decode cost is Python — at 100 TB you'd put the
+    spark-avro jar on the classpath and this format name keeps
+    working as the fallback.  Encoders/decoders are compiled ONCE
+    per schema into nested closures (no per-value type dispatch).
+
+Reference parity note: halolimat/LNEx reads its data from pickled
+files and web services; an Avro source/sink has no reference
+counterpart — it implements the engine's source/sink coverage brief
+(SURVEY.md §2 "sources/sinks").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from datetime import date, datetime, timedelta, timezone
+from typing import Callable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_MAGIC = b"Obj\x01"
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+# ---------------------------------------------------------------------------
+# Avro binary primitives (spec: "Binary encoding")
+# ---------------------------------------------------------------------------
+
+
+def _enc_long(n: int) -> bytes:
+    """Zigzag + varint. Works for the full signed-64 range: ``n >> 63``
+    is -1 for negatives (Python's arithmetic shift), so the zigzag of
+    INT64_MIN lands on 2^64-1 exactly as the spec's unsigned form."""
+    z = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _dec_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    z = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _dec_bytes(buf: memoryview, pos: int) -> tuple[bytes, int]:
+    n, pos = _dec_long(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+# ---------------------------------------------------------------------------
+# Schema conversion: Spark StructType <-> Avro schema JSON
+# ---------------------------------------------------------------------------
+
+_PRIMITIVE_TO_AVRO: dict[type, object] = {
+    BooleanType: "boolean",
+    IntegerType: "int",
+    LongType: "long",
+    FloatType: "float",
+    DoubleType: "double",
+    StringType: "string",
+    BinaryType: "bytes",
+    TimestampType: {"type": "long", "logicalType": "timestamp-micros"},
+    DateType: {"type": "int", "logicalType": "date"},
+}
+
+try:  # Spark's tz-less timestamp — Avro 1.11 local-timestamp-micros
+    from pyspark.sql.types import TimestampNTZType
+
+    _PRIMITIVE_TO_AVRO[TimestampNTZType] = {
+        "type": "long",
+        "logicalType": "local-timestamp-micros",
+    }
+except ImportError:  # pragma: no cover — older pyspark
+    TimestampNTZType = None
+
+
+def _spark_type_to_avro(dt: DataType, nullable: bool) -> object:
+    if isinstance(dt, ArrayType):
+        t: object = {
+            "type": "array",
+            "items": _spark_type_to_avro(dt.elementType, dt.containsNull),
+        }
+    else:
+        try:
+            t = _PRIMITIVE_TO_AVRO[type(dt)]
+        except KeyError:
+            raise NotImplementedError(f"avro_py does not support Spark type {dt}")
+    return ["null", t] if nullable else t
+
+
+def spark_schema_to_avro(schema: StructType, name: str = "spark_row") -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": _spark_type_to_avro(f.dataType, f.nullable),
+                **({"default": None} if f.nullable else {}),
+            }
+            for f in schema.fields
+        ],
+    }
+
+
+def _avro_type_to_spark(t: object) -> tuple[DataType, bool]:
+    """Returns (spark type, nullable)."""
+    if isinstance(t, list):  # union — only ["null", T] / [T, "null"]
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1 or len(t) > 2:
+            raise NotImplementedError(f"avro_py supports only ['null', T] unions, got {t}")
+        inner, _ = _avro_type_to_spark(branches[0])
+        return inner, True
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros" or lt == "timestamp-millis":
+            return TimestampType(), False
+        if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+            return (TimestampNTZType or TimestampType)(), False
+        if lt == "date":
+            return DateType(), False
+        if t.get("type") == "array":
+            elem, elem_null = _avro_type_to_spark(t["items"])
+            return ArrayType(elem, containsNull=elem_null), False
+        return _avro_type_to_spark(t["type"])
+    prim = {
+        "boolean": BooleanType(),
+        "int": IntegerType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+        "string": StringType(),
+        "bytes": BinaryType(),
+    }.get(t)  # type: ignore[arg-type]
+    if prim is None:
+        raise NotImplementedError(f"avro_py does not support Avro type {t!r}")
+    return prim, False
+
+
+def avro_schema_to_spark(avro: dict) -> StructType:
+    if avro.get("type") != "record":
+        raise NotImplementedError("avro_py reads record-typed files only")
+    fields = []
+    for f in avro["fields"]:
+        dt, nullable = _avro_type_to_spark(f["type"])
+        fields.append(StructField(f["name"], dt, nullable))
+    return StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# Compiled per-schema encoders/decoders (closures, no per-value dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _compile_encoder(t: object) -> Callable[[object, bytearray], None]:
+    if isinstance(t, list):  # ["null", T]
+        inner = _compile_encoder([b for b in t if b != "null"][0])
+        null_first = t[0] == "null"
+        idx_null, idx_val = (b"\x00", b"\x02") if null_first else (b"\x02", b"\x00")
+
+        def enc_union(v, out, _inner=inner, _n=idx_null, _v=idx_val):
+            if v is None:
+                out += _n
+            else:
+                out += _v
+                _inner(v, out)
+
+        return enc_union
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+
+            def enc_ts(v, out):
+                if v.tzinfo is None:  # Spark hands back naive session-tz values
+                    v = v.replace(tzinfo=timezone.utc)
+                out += _enc_long(
+                    int((v - _EPOCH_DT) // timedelta(microseconds=1))
+                )
+
+            return enc_ts
+        if lt == "date":
+            return lambda v, out: out.__iadd__(_enc_long((v - _EPOCH_DATE).days))
+        if t.get("type") == "array":
+            enc_item = _compile_encoder(t["items"])
+
+            def enc_array(v, out, _e=enc_item):
+                if v:
+                    out += _enc_long(len(v))
+                    for item in v:
+                        _e(item, out)
+                out += b"\x00"  # terminator block
+
+            return enc_array
+        return _compile_encoder(t["type"])
+    if t == "long" or t == "int":
+        return lambda v, out: out.__iadd__(_enc_long(int(v)))
+    if t == "string":
+
+        def enc_str(v, out):
+            b = v.encode("utf-8")
+            out += _enc_long(len(b))
+            out += b
+
+        return enc_str
+    if t == "double":
+        return lambda v, out: out.__iadd__(struct.pack("<d", v))
+    if t == "float":
+        return lambda v, out: out.__iadd__(struct.pack("<f", v))
+    if t == "boolean":
+        return lambda v, out: out.__iadd__(b"\x01" if v else b"\x00")
+    if t == "bytes":
+
+        def enc_bytes(v, out):
+            b = bytes(v)
+            out += _enc_long(len(b))
+            out += b
+
+        return enc_bytes
+    raise NotImplementedError(f"avro_py cannot encode Avro type {t!r}")
+
+
+def _compile_decoder(t: object) -> Callable[[memoryview, int], tuple[object, int]]:
+    if isinstance(t, list):
+        null_idx = t.index("null")
+        inner = _compile_decoder([b for b in t if b != "null"][0])
+
+        def dec_union(buf, pos, _inner=inner, _ni=null_idx):
+            idx, pos = _dec_long(buf, pos)
+            return (None, pos) if idx == _ni else _inner(buf, pos)
+
+        return dec_union
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt in ("timestamp-micros", "timestamp-millis", "local-timestamp-micros", "local-timestamp-millis"):
+            mult = 1000 if lt.endswith("millis") else 1
+
+            def dec_ts(buf, pos, _m=mult):
+                us, pos = _dec_long(buf, pos)
+                # naive UTC — the inverse of enc_ts, so round-trips are identity
+                return (_EPOCH_DT + timedelta(microseconds=us * _m)).replace(
+                    tzinfo=None
+                ), pos
+
+            return dec_ts
+        if lt == "date":
+
+            def dec_date(buf, pos):
+                d, pos = _dec_long(buf, pos)
+                return _EPOCH_DATE + timedelta(days=d), pos
+
+            return dec_date
+        if t.get("type") == "array":
+            dec_item = _compile_decoder(t["items"])
+
+            def dec_array(buf, pos, _d=dec_item):
+                out = []
+                while True:
+                    n, pos = _dec_long(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:  # spec: negative count, block byte size follows
+                        n = -n
+                        _, pos = _dec_long(buf, pos)
+                    for _ in range(n):
+                        v, pos = _d(buf, pos)
+                        out.append(v)
+
+            return dec_array
+        return _compile_decoder(t["type"])
+    if t == "long" or t == "int":
+        return _dec_long
+    if t == "string":
+
+        def dec_str(buf, pos):
+            b, pos = _dec_bytes(buf, pos)
+            return b.decode("utf-8"), pos
+
+        return dec_str
+    if t == "double":
+        return lambda buf, pos: (struct.unpack_from("<d", buf, pos)[0], pos + 8)
+    if t == "float":
+        return lambda buf, pos: (struct.unpack_from("<f", buf, pos)[0], pos + 4)
+    if t == "boolean":
+        return lambda buf, pos: (buf[pos] == 1, pos + 1)
+    if t == "bytes":
+        return _dec_bytes
+    raise NotImplementedError(f"avro_py cannot decode Avro type {t!r}")
+
+
+def _compile_record_encoder(avro: dict) -> Callable[[tuple, bytearray], None]:
+    encs = [_compile_encoder(f["type"]) for f in avro["fields"]]
+
+    def enc_record(row, out, _encs=encs):
+        for v, e in zip(row, _encs):
+            e(v, out)
+
+    return enc_record
+
+
+def _compile_record_decoder(avro: dict) -> Callable[[memoryview, int], tuple[tuple, int]]:
+    decs = [_compile_decoder(f["type"]) for f in avro["fields"]]
+
+    def dec_record(buf, pos, _decs=decs):
+        vals = []
+        for d in _decs:
+            v, pos = d(buf, pos)
+            vals.append(v)
+        return tuple(vals), pos
+
+    return dec_record
+
+
+# ---------------------------------------------------------------------------
+# OCF container (spec: "Object Container Files")
+# ---------------------------------------------------------------------------
+
+
+def write_ocf(
+    f,
+    avro_schema: dict,
+    rows: Iterator[tuple],
+    codec: str = "null",
+    block_rows: int = 4096,
+    sync: bytes | None = None,
+) -> int:
+    """Stream ``rows`` into an OCF file object; returns row count.
+    Rows are buffered per block (``block_rows``), so memory stays
+    bounded at block size regardless of partition size."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro_py codecs: null, deflate (got {codec!r})")
+    sync = sync or os.urandom(16)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    header = bytearray(_MAGIC)
+    header += _enc_long(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        header += _enc_long(len(kb)) + kb + _enc_long(len(v)) + v
+    header += b"\x00" + sync
+    f.write(header)
+
+    enc = _compile_record_encoder(avro_schema)
+    total = 0
+
+    def flush(buf: bytearray, n: int):
+        if not n:
+            return
+        data = bytes(buf)
+        if codec == "deflate":  # raw RFC-1951 per spec (no zlib wrapper);
+            c = zlib.compressobj(level=6, wbits=-15)  # one compressobj per block
+            data = c.compress(data) + c.flush()
+        f.write(_enc_long(n) + _enc_long(len(data)) + data + sync)
+
+    buf = bytearray()
+    n = 0
+    for row in rows:
+        enc(row, buf)
+        n += 1
+        total += 1
+        if n >= block_rows:
+            flush(buf, n)
+            buf = bytearray()
+            n = 0
+    flush(buf, n)
+    return total
+
+
+def read_ocf_header(f) -> tuple[dict, str, bytes, int]:
+    """Returns (avro schema dict, codec, sync marker, body offset)."""
+    head = f.read(1 << 16)
+    if head[:4] != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    buf = memoryview(head)
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _dec_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _dec_long(buf, pos)
+        for _ in range(n):
+            k, pos = _dec_bytes(buf, pos)
+            v, pos = _dec_bytes(buf, pos)
+            meta[k.decode()] = v
+    sync = bytes(buf[pos : pos + 16])
+    pos += 16
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, pos
+
+
+def iter_ocf_rows(path: str) -> Iterator[tuple]:
+    """Iterate decoded row tuples from one OCF file, block by block
+    (only one decompressed block is resident at a time)."""
+    with open(path, "rb") as f:
+        schema, codec, sync, pos = read_ocf_header(f)
+        dec = _compile_record_decoder(schema)
+        f.seek(pos)
+        while True:
+            hdr = f.read(1)
+            if not hdr:
+                return
+            # re-read the varints through a small stateful reader
+            count = _read_varint_stream(f, hdr)
+            size = _read_varint_stream(f, f.read(1))
+            data = f.read(size)
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            elif codec != "null":
+                raise NotImplementedError(f"codec {codec!r}")
+            if f.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {path}")
+            buf = memoryview(data)
+            p = 0
+            for _ in range(count):
+                row, p = dec(buf, p)
+                yield row
+
+
+def _read_varint_stream(f, first: bytes) -> int:
+    z = first[0] & 0x7F
+    shift = 7
+    b = first[0]
+    while b & 0x80:
+        b = f.read(1)[0]
+        z |= (b & 0x7F) << shift
+        shift += 7
+    return (z >> 1) ^ -(z & 1)
+
+
+# ---------------------------------------------------------------------------
+# Data Source: reader + writer with the files-then-manifest protocol
+# ---------------------------------------------------------------------------
+
+
+class _FileMsg(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _AvroFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _committed_files(path: str) -> list[str]:
+    """Manifest-honoring file listing; falls back to *.avro glob for
+    directories written by other (manifest-less) Avro writers."""
+    mpath = os.path.join(path, "_MANIFEST")
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            return [os.path.join(path, n) for n in json.load(f)["files"]]
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, n) for n in os.listdir(path) if n.endswith(".avro")
+    )
+
+
+class AvroOcfReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_py requires a path")
+
+    def partitions(self):
+        files = _committed_files(self.path)
+        return [_AvroFile(p) for p in files] or [_AvroFile("")]
+
+    def read(self, partition: _AvroFile) -> Iterator[tuple]:
+        if partition.path:
+            yield from iter_ocf_rows(partition.path)
+
+
+class AvroOcfWriter(DataSourceWriter):
+    def __init__(self, path: str, avro_schema: dict, codec: str, block_rows: int):
+        self.path = path
+        self.avro_schema = avro_schema
+        self.codec = codec
+        self.block_rows = block_rows
+
+    def write(self, it: Iterator) -> _FileMsg:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.avro"
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, fname), "wb") as f:
+            n = write_ocf(
+                f, self.avro_schema, (tuple(r) for r in it), self.codec, self.block_rows
+            )
+        return _FileMsg(fname, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class AvroOcfDataSource(DataSource):
+    """Registered as ``avro_py``. Read: path only (schema comes from the
+    first committed file's embedded Avro schema). Write options:
+    ``codec`` (null|deflate, default null), ``block_rows`` (default
+    4096)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_py"
+
+    def schema(self):
+        files = _committed_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError(f"no avro files under {self.options.get('path')!r}")
+        with open(files[0], "rb") as f:
+            avro, _, _, _ = read_ocf_header(f)
+        return avro_schema_to_spark(avro)
+
+    def reader(self, schema: StructType) -> AvroOcfReader:
+        return AvroOcfReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> AvroOcfWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("avro_py requires a path")
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                os.remove(os.path.join(path, f))
+        return AvroOcfWriter(
+            path,
+            spark_schema_to_avro(schema),
+            self.options.get("codec", "null"),
+            int(self.options.get("block_rows", 4096)),
+        )
+
+
+def register(spark) -> None:
+    """Idempotent registration of the avro_py format."""
+    spark.dataSource.register(AvroOcfDataSource)
+
+
+def write_rows_local(path: str, avro_schema: dict, rows: list[tuple], codec: str = "null") -> None:
+    """Driver-local single-file writer (tests / fixtures)."""
+    with open(path, "wb") as f:
+        write_ocf(f, avro_schema, iter(rows), codec)
+
+
+__all__ = [
+    "AvroOcfDataSource",
+    "avro_schema_to_spark",
+    "iter_ocf_rows",
+    "read_ocf_header",
+    "register",
+    "spark_schema_to_avro",
+    "write_ocf",
+    "write_rows_local",
+]

@@ -1,0 +1,185 @@
+"""Pure-Python Avro OCF source/sink (lnex_spark/sources/avro_py.py):
+spec byte-vectors, typed round-trips through Spark, the
+files-then-manifest commit protocol, multi-block files, codecs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date, datetime
+
+import pytest
+
+from lnex_spark.sources import avro_py as A
+
+SCHEMA_DDL = (
+    "b boolean, i int, l long, f float, d double, s string, bin binary, "
+    "ts timestamp, dt date, arr array<float>"
+)
+
+
+def _typed_rows():
+    return [
+        (
+            True,
+            -(2**31),
+            -(2**63),
+            1.5,
+            -2.25e100,
+            "héllo ☃ world",
+            bytearray(b"\x00\xffraw"),
+            datetime(2025, 6, 1, 12, 34, 56, 789012),
+            date(1969, 7, 20),
+            [1.0, None, -0.5],
+        ),
+        (False, 2**31 - 1, 2**63 - 1, -0.0, float("inf"), "", b"", datetime(1970, 1, 1), date(1970, 1, 1), []),
+        (None, None, None, None, None, None, None, None, None, None),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Binary-encoding spec vectors (Avro 1.11 "Binary encoding": zigzag varints)
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_spec_vectors():
+    # the exact table from the Avro specification
+    for n, b in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"), (63, b"\x7e"), (64, b"\x80\x01")]:
+        assert A._enc_long(n) == b, n
+        v, pos = A._dec_long(memoryview(b), 0)
+        assert (v, pos) == (n, len(b))
+
+
+def test_long_extremes_roundtrip():
+    for n in [-(2**63), 2**63 - 1, -(2**31), 2**31 - 1, 10**17, -(10**17)]:
+        v, _ = A._dec_long(memoryview(A._enc_long(n)), 0)
+        assert v == n
+
+
+def test_ocf_magic_and_header():
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    path = "/tmp/_avro_hdr_test.avro"
+    A.write_rows_local(path, schema, [(7,), (-7,)], codec="deflate")
+    with open(path, "rb") as f:
+        raw = f.read()
+    assert raw[:4] == b"Obj\x01"  # spec magic
+    with open(path, "rb") as f:
+        got_schema, codec, sync, pos = A.read_ocf_header(f)
+    assert got_schema == schema and codec == "deflate" and len(sync) == 16
+    assert list(A.iter_ocf_rows(path)) == [(7,), (-7,)]
+
+
+def test_multi_block_and_sync_markers():
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    path = "/tmp/_avro_blocks_test.avro"
+    rows = [(i,) for i in range(100)]
+    with open(path, "wb") as f:
+        A.write_ocf(f, schema, iter(rows), codec="null", block_rows=7)
+    with open(path, "rb") as f:
+        _, _, sync, _ = A.read_ocf_header(f)
+    data = open(path, "rb").read()
+    # 100 rows / 7 per block = 15 blocks, each ending in the sync marker
+    assert data.count(sync) >= 15 + 1  # header copy + one per block
+    assert list(A.iter_ocf_rows(path)) == rows
+
+
+# ---------------------------------------------------------------------------
+# Spark round-trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_spark_roundtrip_all_types(spark, tmp_path, codec):
+    A.register(spark)
+    out = str(tmp_path / f"typed_{codec}")
+    df = spark.createDataFrame(_typed_rows(), SCHEMA_DDL)
+    df.write.format("avro_py").option("codec", codec).mode("append").save(out)
+
+    back = spark.read.format("avro_py").load(out)
+    assert [f.simpleString() for f in back.schema.fields] == [
+        f.simpleString() for f in df.schema.fields
+    ]
+    want = sorted(map(repr, df.collect()))
+    got = sorted(map(repr, back.collect()))
+    assert got == want
+
+
+def test_schema_embedded_not_guessed(spark, tmp_path):
+    A.register(spark)
+    out = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5)], "doc_id long, lang string, score double"
+    )
+    df.write.format("avro_py").mode("append").save(out)
+    back = spark.read.format("avro_py").load(out)
+    assert dict((f.name, f.dataType.simpleString()) for f in back.schema.fields) == {
+        "doc_id": "bigint",
+        "lang": "string",
+        "score": "double",
+    }
+
+
+def test_manifest_commit_protocol(spark, tmp_path):
+    A.register(spark)
+    out = str(tmp_path / "mf")
+    df = spark.createDataFrame([(i,) for i in range(40)], "x long").repartition(4)
+    df.write.format("avro_py").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    parts = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert set(manifest["files"]) == parts and manifest["rows"] == 40
+    # one reader partition per committed file — write parallelism preserved
+    back = spark.read.format("avro_py").load(out)
+    assert back.rdd.getNumPartitions() == len(parts)
+    assert back.count() == 40
+
+
+def test_overwrite_replaces(spark, tmp_path):
+    A.register(spark)
+    out = str(tmp_path / "ow")
+    spark.createDataFrame([(i,) for i in range(30)], "x long").write.format(
+        "avro_py"
+    ).mode("append").save(out)
+    spark.createDataFrame([(i,) for i in range(5)], "x long").write.format(
+        "avro_py"
+    ).mode("overwrite").save(out)
+    assert spark.read.format("avro_py").load(out).count() == 5
+
+
+def test_deflate_compresses(spark, tmp_path):
+    A.register(spark)
+    rows = [(i, "the same boilerplate sentence repeated many times over") for i in range(2000)]
+    sizes = {}
+    for codec in ("null", "deflate"):
+        out = str(tmp_path / codec)
+        spark.createDataFrame(rows, "i long, t string").coalesce(1).write.format(
+            "avro_py"
+        ).option("codec", codec).mode("append").save(out)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".avro")
+        )
+        got = sorted(spark.read.format("avro_py").load(out).collect())
+        assert [tuple(r) for r in got] == rows
+    assert sizes["deflate"] < sizes["null"] / 3
+
+
+def test_events_table_roundtrip_vs_parquet(spark):
+    """The engine-table fidelity check: every events row (long, ts,
+    string, double) survives parquet -> avro_py -> Spark byte-for-byte."""
+    A.register(spark)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = "/tmp/_avro_events_rt"
+    src.write.format("avro_py").option("codec", "deflate").mode("overwrite").save(out)
+    back = spark.read.format("avro_py").load(out)
+    assert sorted(map(repr, back.collect())) == sorted(map(repr, src.collect()))
+
+
+def test_unsupported_types_raise(spark, tmp_path):
+    A.register(spark)
+    df = spark.createDataFrame([({"k": 1},)], "m map<string,int>")
+    with pytest.raises(Exception, match="does not support|NotImplemented"):
+        df.write.format("avro_py").mode("append").save(str(tmp_path / "bad"))
