@@ -253,6 +253,155 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_quantize(mat: np.ndarray) -> np.ndarray:
+    """floor(x * 2^20) int64 — the module's exact-integer embedding
+    quantization (see lsh_signatures_rademacher): float32→double is
+    exact, scaling by a power of two is exact, so every engine gets
+    the identical integers and all PQ distances below are exact
+    integer arithmetic with no summation-order hazard."""
+    return np.floor(mat.astype(np.float64) * 1048576.0).astype(np.int64)
+
+
+def _pq_codebook_np(embeddings: DataFrame, m_subspaces: int, n_codes: int) -> np.ndarray:
+    """(M, K, ds) int64 codebook from the ``n_codes`` smallest vec_ids
+    — deterministic, SQL-re-derivable (the analogue of cosine_topk_ivf's
+    default centroids; train per-subspace k-means and pass the vectors
+    through ``codebook_rows`` for production recall)."""
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(n_codes)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    base = _pq_quantize(np.vstack([r.embedding for r in rows]))  # (K, dim)
+    dim = base.shape[1]
+    ds = dim // m_subspaces
+    if ds * m_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible into {m_subspaces} subspaces")
+    return np.stack([base[:, m * ds : (m + 1) * ds] for m in range(m_subspaces)])
+
+
+def _pq_encode_np(mat_q: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """codes (n, M) int32: per subspace, argmin L2² against the
+    codebook — np.argmin takes the FIRST minimum, i.e. ties break to
+    the smaller code id, matching the SQL twin's (dist, c) ordering."""
+    m_sub, _, ds = cb.shape
+    codes = np.empty((mat_q.shape[0], m_sub), dtype=np.int32)
+    for m in range(m_sub):
+        sub = mat_q[:, m * ds : (m + 1) * ds]  # (n, ds)
+        d = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)  # (n, K)
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_codes(
+    embeddings: DataFrame, m_subspaces: int = 8, n_codes: int = 16
+) -> DataFrame:
+    """Product-quantization encode: (vec_id, m, code) — each vector
+    compressed to M sub-codes (here 8×4 bits ≡ 4 bytes per 64-dim
+    vector, a 64× compression of float32).
+
+    Scale shape: the codebook is tiny ((M·K·ds) ints — broadcast via
+    UDF closure), encoding is ONE zero-shuffle Arrow pass with all math
+    numpy-vectorized; emitted exploded (no array columns) for direct
+    value-hash checks."""
+    cb = _pq_codebook_np(embeddings, m_subspaces, n_codes)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _pq_quantize(np.vstack(pdf["embedding"].values))
+            codes = _pq_encode_np(mat, cb)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, m_subspaces),
+                    "m": np.tile(np.arange(m_subspaces, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, m int, code int"
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    queries precompute per-subspace distance tables against the
+    codebook; each corpus vector's approximate distance is M table
+    lookups summed over its codes — no full-dimension math per
+    (query, vector) pair.
+
+    Scale shape (the piece IVF/LSH don't cover — compressed exhaustive
+    scan): distance tables are (Q·M·K) ints, broadcast in the UDF
+    closure; ONE zero-shuffle Arrow pass over the corpus encodes each
+    batch and emits only the per-batch top-k per query, so the rows
+    that reach the final exact window are batches×Q×k, never the
+    corpus (a per-batch top-k is a superset of the global one — no
+    candidate loss).  Composes with IVF: run inside each probed cell.
+    Exact-integer math end-to-end → the DuckDB oracle re-derives
+    identical adc values."""
+    cb = _pq_codebook_np(embeddings, m_subspaces, n_codes)
+    q_rows = queries.select("query_id", "embedding").collect()
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = _pq_quantize(np.vstack([r.embedding for r in q_rows]))
+    m_sub, n_k, ds = cb.shape
+    # dt[q, m, c] = L2²(query subvector, codebook entry) — ints, exact
+    dt = np.empty((len(q_ids), m_sub, n_k), dtype=np.int64)
+    for m in range(m_sub):
+        qs = q_mat[:, m * ds : (m + 1) * ds]
+        dt[:, m, :] = ((qs[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].values.astype(np.int64)
+            codes = _pq_encode_np(_pq_quantize(np.vstack(pdf["embedding"].values)), cb)
+            # adc (Q, n): per-subspace table lookups summed — the two
+            # advanced indices ((1,M) subspace ids, (n,M) codes)
+            # broadcast to (n,M) and combine with the leading slice to
+            # (Q,n,M); sum over M
+            adc = dt[:, np.arange(m_sub)[None, :], codes].sum(axis=2)
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                mask = vids != q_ids[qi]
+                vv, dd = vids[mask], adc[qi][mask]
+                # k smallest by (adc, vec_id): primary key dd, tie vv —
+                # same order as the final window, so truncation at k is
+                # lossless even through ties
+                idx = np.lexsort((vv, dd))[:k]
+                out_q.append(np.full(len(idx), q_ids[qi], dtype=np.int64))
+                out_v.append(vv[idx])
+                out_d.append(dd[idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "adc": np.concatenate(out_d),
+                }
+            )
+
+    cand = embeddings.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, vec_id long, adc long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -783,3 +783,80 @@ def approx_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.countDistinct("user_id")
         ).alias("approx_within_5pct"),
     )
+
+
+# --- product quantization (Jégou et al., TPAMI 2011) -------------------
+# Shared derivation: embeddings quantized to floor(x * 2^20) int64
+# (exact — see similarity._pq_quantize), split into M=8 subspaces of 8
+# dims, codebook = subvectors of vec_id < 16, every distance an exact
+# integer — so DuckDB re-derives codes and ADC distances identically.
+_PQ_BASE_SQL = """
+    v AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT v.vec_id, m.m, v.qv[m.m*8+1 : m.m*8+8] AS s
+      FROM v, generate_series(0, 7) AS m(m)
+    ),
+    cb AS (SELECT m, vec_id AS c, s FROM sub WHERE vec_id < 16),
+    dist AS (
+      SELECT sub.vec_id, sub.m, cb.c,
+             CAST(list_sum(list_transform(sub.s, (x, i) -> (x - cb.s[i]) * (x - cb.s[i]))) AS BIGINT) AS d2
+      FROM sub JOIN cb USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, c ASC) AS rk
+        FROM dist) WHERE rk = 1
+    )
+"""
+
+
+@register(
+    "pq_codes_embeddings",
+    f"""
+    WITH {_PQ_BASE_SQL}
+    SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM codes
+    """,
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode (similarity.pq_codes): one zero-shuffle Arrow pass,
+    codebook broadcast in the UDF closure, exploded (vec_id, m, code)
+    output value-checked against the full SQL re-derivation."""
+    from lnex_spark.operators.similarity import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"), m_subspaces=8, n_codes=16)
+
+
+@register(
+    "ann_pq_adc",
+    f"""
+    WITH {_PQ_BASE_SQL},
+    dtq AS (
+      SELECT q.vec_id AS query_id, q.m, cb.c,
+             CAST(list_sum(list_transform(q.s, (x, i) -> (x - cb.s[i]) * (x - cb.s[i]))) AS BIGINT) AS d2
+      FROM sub q JOIN cb USING (m) WHERE q.vec_id < 5
+    ),
+    adc AS (
+      SELECT dtq.query_id, codes.vec_id, CAST(sum(dtq.d2) AS BIGINT) AS adc
+      FROM codes JOIN dtq ON codes.m = dtq.m AND codes.code = dtq.c
+      WHERE codes.vec_id <> dtq.query_id
+      GROUP BY dtq.query_id, codes.vec_id
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+      FROM adc) WHERE rank <= 5
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (similarity.pq_adc_topk): the
+    compressed-exhaustive-scan ANN path alongside brute-force / LSH /
+    IVF — per-batch top-k inside one Arrow pass, exact-integer ADC
+    values identical to the SQL twin."""
+    from lnex_spark.operators.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_adc_topk(e, q, m_subspaces=8, n_codes=16, k=5)

@@ -212,3 +212,35 @@ def test_prefix_filter_high_threshold_drops_near_dup(docs):
         for r in dedup.prefix_filter_pairs(docs, n=3, threshold=0.95).collect()
     }
     assert pref == {(0, 1)}  # only the exact duplicate reaches 0.95
+
+
+def test_pq_codes_shape_and_range(emb):
+    # dim 16 -> 4 subspaces of 4; codebook from vec_id < 8
+    got = similarity.pq_codes(emb, m_subspaces=4, n_codes=8).collect()
+    assert len(got) == 22 * 4
+    assert {r["m"] for r in got} == {0, 1, 2, 3}
+    assert all(0 <= r["code"] < 8 for r in got)
+    # a codebook vector's own subvectors encode to themselves (d2 = 0)
+    own = {r["m"]: r["code"] for r in got if r["vec_id"] == 3}
+    assert own == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pq_adc_exact_duplicate_ranks_first(emb):
+    # vec 20 is an exact copy of vec 0: identical codes -> adc 0 -> rank 1
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.pq_adc_topk(emb, q, m_subspaces=4, n_codes=8, k=3).collect()
+    top = sorted(got, key=lambda r: r["rank"])[0]
+    assert (top["vec_id"], top["adc"], top["rank"]) == (20, 0, 1)
+
+
+def test_pq_adc_partition_invariant(emb):
+    q = emb.filter("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def run(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["adc"], r["rank"])
+            for r in similarity.pq_adc_topk(df, q, m_subspaces=4, n_codes=8, k=4).collect()
+        )
+
+    # per-batch top-k truncation must be lossless under any partitioning
+    assert run(emb.coalesce(1)) == run(emb.repartition(7))

@@ -92,6 +92,13 @@ CHECKS = {
     # r2 real media decode: synthesize + decode are chained MapInPandas
     # islands over the same scan — ZERO exchanges end-to-end
     "media": dict(want=["MapInPandas"], forbid=["Exchange", "Join"]),
+    # r2 PQ ADC scan: ONE Arrow island over the corpus (codebook +
+    # distance tables ride the UDF closure), then only the tiny
+    # per-batch top-k rows reach the final window — never a join
+    "pq_adc": dict(
+        want=["MapInPandas", "Window"],
+        forbid=["Join", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
@@ -209,6 +216,10 @@ def main() -> None:
     plans["simhash"] = grab(simhash_signatures(docs))
     plans["lsh_multiprobe"] = grab(cosine_topk_lsh(emb, q, dim=16, probe_bits=1))
     plans["media"] = grab(image_stats(synthesize_real_media(docs)))
+
+    from lnex_spark.operators.similarity import pq_adc_topk
+
+    plans["pq_adc"] = grab(pq_adc_topk(emb, q, m_subspaces=8, n_codes=16))
 
     import re
 
