@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -62,3 +63,48 @@ def test_run_kg_job_smoke(tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["processed_buckets"] == 0
     assert second["mention_triples"] == first["mention_triples"]
+
+
+def test_spark_submit_pyfiles_launch(tmp_path):
+    """The ACTUAL launch mode from the north rule: ``spark-submit
+    --py-files lnex_spark.zip jobs/run_kg.py``, as a subprocess.  The
+    entry script is copied OUTSIDE the repo (its sys.path insert then
+    points at tmp, where no lnex_spark package exists), so every
+    lnex_spark import — driver-side and inside executors' UDFs — must
+    resolve from the shipped zip; the repo checkout is not on any
+    path. Asserts the job completes and materializes triples."""
+    import shutil
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    subprocess.run(["sh", str(repo / "tools" / "package.sh")], check=True, capture_output=True)
+    zip_path = repo / "lnex_spark.zip"
+    assert zip_path.is_file()
+
+    jobs_dir = tmp_path / "jobs"
+    jobs_dir.mkdir()
+    shutil.copy(repo / "jobs" / "run_kg.py", jobs_dir / "run_kg.py")
+
+    out = tmp_path / "kg"
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", str(zip_path),
+            str(jobs_dir / "run_kg.py"),
+            "--transcripts", "/root/testdata/sf0.001/documents.parquet",
+            "--derive-from-documents",
+            "--out", str(out),
+            "--manifest", str(tmp_path / "manifest"),
+            "--buckets", "2",
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["processed_buckets"] == 2 and report["mention_triples"] > 0
+    assert (out / "mention_triples").is_dir()
