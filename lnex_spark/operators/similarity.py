@@ -402,6 +402,84 @@ def pq_adc_topk(
     )
 
 
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the coarse quantizer restricts each query to its
+    ``nprobe`` nearest cells (exactly cosine_topk_ivf's assign/probe
+    plumbing), then candidates are re-ranked by PQ asymmetric distance
+    instead of full-dimension cosine — the standard composed index
+    (Jégou et al., TPAMI 2011 §V).
+
+    Scale shape: centroids and the (Q·M·K) distance-table rows are
+    broadcast; the corpus-sized sides move through ONE cell-keyed
+    shuffle (assign) and the PQ codes' M-row explosion feeds a
+    broadcast join + partially-aggregated sum — candidate volume is
+    already cut to the probed cells before any per-pair work, and no
+    full-dimension arithmetic touches a candidate (the M table lookups
+    replace it).  Exact-integer ADC (see pq_adc_topk) keeps the whole
+    composition SQL-re-derivable."""
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy("vec_id")
+            .limit(n_cells)
+            .select(F.col("vec_id").cast("int").alias("cell_id"), "embedding")
+        )
+    assigned = ivf_assign(embeddings, centroids).select("vec_id", "cell_id")
+
+    q = queries.select("query_id", _as_double(F.col("embedding")).alias("qemb"))
+    c = centroids.select("cell_id", _as_double(F.col("embedding")).alias("cemb"))
+    qcells = q.crossJoin(F.broadcast(c)).select(
+        "query_id", "cell_id", F.round(_cosine(F.col("qemb"), F.col("cemb")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    probes = (
+        qcells.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    # PQ fine quantizer: corpus codes (Arrow pass) + query distance
+    # tables (driver-side numpy over the tiny query set, broadcast)
+    cb = _pq_codebook_np(embeddings, m_subspaces, n_codes)
+    q_rows = queries.select("query_id", "embedding").collect()
+    q_mat = _pq_quantize(np.vstack([r.embedding for r in q_rows]))
+    m_sub, n_k, ds = cb.shape
+    dt_rows = []
+    for qi, r in enumerate(q_rows):
+        for m in range(m_sub):
+            qs = q_mat[qi, m * ds : (m + 1) * ds]
+            d2 = ((qs[None, :] - cb[m]) ** 2).sum(axis=1)
+            dt_rows.extend(
+                (int(r.query_id), m, int(ci), int(d2[ci])) for ci in range(n_k)
+            )
+    spark = embeddings.sparkSession
+    dt_df = spark.createDataFrame(dt_rows, "query_id long, m int, code int, d2 long")
+
+    codes = pq_codes(embeddings, m_subspaces, n_codes)
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dt_df), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

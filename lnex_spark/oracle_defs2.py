@@ -860,3 +860,68 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return pq_adc_topk(e, q, m_subspaces=8, n_codes=16, k=5)
+
+
+@register(
+    "ann_ivfpq",
+    f"""
+    WITH {_PQ_BASE_SQL},
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS cell_id, embedding AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    flat_vc AS (
+      SELECT vec_id, cell_id, unnest(embedding) AS x, unnest(cemb) AS y
+      FROM embeddings, cents
+    ),
+    cos_vc AS (
+      SELECT vec_id, cell_id,
+             round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                    * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS csim
+      FROM flat_vc GROUP BY vec_id, cell_id
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS rk
+        FROM cos_vc) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS rk
+        FROM cos_vc WHERE vec_id < 5) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+      WHERE a.vec_id != p.query_id
+    ),
+    dtq AS (
+      SELECT q.vec_id AS query_id, q.m, cb.c,
+             CAST(list_sum(list_transform(q.s, (x, i) -> (x - cb.s[i]) * (x - cb.s[i]))) AS BIGINT) AS d2
+      FROM sub q JOIN cb USING (m) WHERE q.vec_id < 5
+    ),
+    adc AS (
+      SELECT c.query_id, c.vec_id, CAST(sum(dtq.d2) AS BIGINT) AS adc
+      FROM cand c
+      JOIN codes ON codes.vec_id = c.vec_id
+      JOIN dtq ON dtq.query_id = c.query_id AND dtq.m = codes.m AND dtq.c = codes.code
+      GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+      FROM adc) WHERE rank <= 5
+    """,
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (similarity.ann_ivfpq_topk): IVF cell probing
+    restricts candidates, PQ asymmetric distance re-ranks them — coarse
+    and fine quantizer both deterministic, the whole composed index
+    value-checked against one SQL re-derivation."""
+    from lnex_spark.operators.similarity import ann_ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_ivfpq_topk(e, q, n_cells=8, nprobe=2, m_subspaces=8, n_codes=16, k=5)

@@ -244,3 +244,22 @@ def test_pq_adc_partition_invariant(emb):
 
     # per-batch top-k truncation must be lossless under any partitioning
     assert run(emb.coalesce(1)) == run(emb.repartition(7))
+
+
+def test_ivfpq_duplicate_found_and_partition_invariant(emb):
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def run(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["adc"], r["rank"])
+            for r in similarity.ann_ivfpq_topk(
+                df, q, n_cells=4, nprobe=2, m_subspaces=4, n_codes=8, k=3
+            ).collect()
+        )
+
+    got = run(emb)
+    # vec 20 (exact copy of the query) lands in the same IVF cell,
+    # encodes to the same codes -> adc 0, rank 1
+    top = next(r for r in got if r[3] == 1)
+    assert top[1:] == (20, 0, 1)
+    assert got == run(emb.repartition(5))
