@@ -163,6 +163,12 @@ def main() -> None:
     run("asof_join", lambda: asof_join_backward(clicks, errors, on=["user_id"]).count())
     run("ann_ivf", lambda: cosine_topk_ivf(emb, q, n_cells=16, nprobe=2, k=10).count())
 
+    from lnex_spark.operators.similarity import pq_adc_topk
+
+    # PQ ADC compressed scan (r2): one Arrow pass over the corpus,
+    # distance tables broadcast in the closure, per-batch top-k
+    run("ann_pq", lambda: pq_adc_topk(emb, q, m_subspaces=8, n_codes=16, k=10).count())
+
     # real media decode (r2): synthesize encoded BMP/PPM/WAV/VID0 payloads
     # and run the full decode+stats Arrow stage; timing covers encode+decode
     # so it lower-bounds pure decode throughput

@@ -30,12 +30,15 @@ Scale design (the honest version):
     (executors never write final names; ``_MANIFEST`` lands on the
     driver only after every task succeeded, so readers see all-or-
     nothing; speculative attempts are disambiguated by attempt id);
-  * the reader plans ONE partition per committed file.  OCF is
-    block-splittable via its 16-byte sync markers, and a JVM
-    connector splits within files; per-file parallelism is the
-    standard contract for pure-Python connectors and is lossless
-    here because the writer emits one file per upstream task —
-    write-side parallelism is preserved end-to-end;
+  * the reader is BLOCK-SPLITTABLE without any driver-side data
+    scan: each writer task records its blocks' byte offsets in its
+    commit message, the manifest persists them, and ``partitions()``
+    groups consecutive blocks into ~``split_bytes`` (default 32 MB)
+    byte-range partitions — so one giant file from a skewed upstream
+    task still fans out across executors, the same property the JVM
+    Avro reader gets by sync-marker scanning (here the offsets are
+    exact, no scan).  Files without a manifest (foreign writers)
+    fall back to one partition per file;
   * per-row decode cost is Python — at 100 TB you'd put the
     spark-avro jar on the classpath and this format name keeps
     working as the fallback.  Encoders/decoders are compiled ONCE
@@ -396,8 +399,10 @@ def write_ocf(
     codec: str = "null",
     block_rows: int = 4096,
     sync: bytes | None = None,
-) -> int:
-    """Stream ``rows`` into an OCF file object; returns row count.
+) -> tuple[int, list[int]]:
+    """Stream ``rows`` into an OCF file object; returns (row count,
+    byte offsets of each block) — the offsets feed the manifest's
+    block index so readers can split the file without scanning it.
     Rows are buffered per block (``block_rows``), so memory stays
     bounded at block size regardless of partition size."""
     if codec not in ("null", "deflate"):
@@ -417,10 +422,12 @@ def write_ocf(
 
     enc = _compile_record_encoder(avro_schema)
     total = 0
+    blocks: list[int] = []
 
     def flush(buf: bytearray, n: int):
         if not n:
             return
+        blocks.append(f.tell())
         data = bytes(buf)
         if codec == "deflate":  # raw RFC-1951 per spec (no zlib wrapper);
             c = zlib.compressobj(level=6, wbits=-15)  # one compressobj per block
@@ -438,7 +445,7 @@ def write_ocf(
             buf = bytearray()
             n = 0
     flush(buf, n)
-    return total
+    return total, blocks
 
 
 def read_ocf_header(f) -> tuple[dict, str, bytes, int]:
@@ -467,32 +474,50 @@ def read_ocf_header(f) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
-def iter_ocf_rows(path: str) -> Iterator[tuple]:
+def _read_block(f, dec, codec: str, sync: bytes, path: str) -> Iterator[tuple]:
+    """Decode one block at the current file position (returns () at EOF)."""
+    hdr = f.read(1)
+    if not hdr:
+        return
+    count = _read_varint_stream(f, hdr)
+    size = _read_varint_stream(f, f.read(1))
+    data = f.read(size)
+    if codec == "deflate":
+        data = zlib.decompress(data, wbits=-15)
+    elif codec != "null":
+        raise NotImplementedError(f"codec {codec!r}")
+    if f.read(16) != sync:
+        raise ValueError(f"sync marker mismatch in {path}")
+    buf = memoryview(data)
+    p = 0
+    for _ in range(count):
+        row, p = dec(buf, p)
+        yield row
+
+
+def iter_ocf_rows(path: str, offsets: list[int] | None = None) -> Iterator[tuple]:
     """Iterate decoded row tuples from one OCF file, block by block
-    (only one decompressed block is resident at a time)."""
+    (only one decompressed block is resident at a time).  With
+    ``offsets`` (from the manifest's block index) only those blocks
+    are read — the split-read path: seek straight to each block, no
+    sync-marker scanning."""
     with open(path, "rb") as f:
         schema, codec, sync, pos = read_ocf_header(f)
         dec = _compile_record_decoder(schema)
+        if offsets is not None:
+            for off in offsets:
+                f.seek(off)
+                yield from _read_block(f, dec, codec, sync, path)
+            return
         f.seek(pos)
         while True:
-            hdr = f.read(1)
-            if not hdr:
-                return
-            # re-read the varints through a small stateful reader
-            count = _read_varint_stream(f, hdr)
-            size = _read_varint_stream(f, f.read(1))
-            data = f.read(size)
-            if codec == "deflate":
-                data = zlib.decompress(data, wbits=-15)
-            elif codec != "null":
-                raise NotImplementedError(f"codec {codec!r}")
-            if f.read(16) != sync:
-                raise ValueError(f"sync marker mismatch in {path}")
-            buf = memoryview(data)
-            p = 0
-            for _ in range(count):
-                row, p = dec(buf, p)
+            before = f.tell()
+            yielded = False
+            for row in _read_block(f, dec, codec, sync, path):
+                yielded = True
                 yield row
+            if not yielded and f.tell() == before:
+                return
 
 
 def _read_varint_stream(f, first: bytes) -> int:
@@ -512,23 +537,35 @@ def _read_varint_stream(f, first: bytes) -> int:
 
 
 class _FileMsg(WriterCommitMessage):
-    def __init__(self, filename: str, n_rows: int):
+    def __init__(self, filename: str, n_rows: int, blocks: list[int]):
         self.filename = filename
         self.n_rows = n_rows
+        self.blocks = blocks
 
 
-class _AvroFile(InputPartition):
-    def __init__(self, path: str):
+class _AvroSplit(InputPartition):
+    """One file, or a contiguous block range of one (offsets=None →
+    whole file, sequential)."""
+
+    def __init__(self, path: str, offsets: list[int] | None = None):
         self.path = path
+        self.offsets = offsets
+
+
+def _read_manifest(path: str) -> dict | None:
+    mpath = os.path.join(path, "_MANIFEST")
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+    return None
 
 
 def _committed_files(path: str) -> list[str]:
     """Manifest-honoring file listing; falls back to *.avro glob for
     directories written by other (manifest-less) Avro writers."""
-    mpath = os.path.join(path, "_MANIFEST")
-    if os.path.isfile(mpath):
-        with open(mpath) as f:
-            return [os.path.join(path, n) for n in json.load(f)["files"]]
+    manifest = _read_manifest(path) if os.path.isdir(path) else None
+    if manifest is not None:
+        return [os.path.join(path, n) for n in manifest["files"]]
     if os.path.isfile(path):
         return [path]
     return sorted(
@@ -541,14 +578,36 @@ class AvroOcfReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_py requires a path")
+        self.split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
 
     def partitions(self):
-        files = _committed_files(self.path)
-        return [_AvroFile(p) for p in files] or [_AvroFile("")]
+        manifest = _read_manifest(self.path) if os.path.isdir(self.path) else None
+        out: list[_AvroSplit] = []
+        if manifest is not None and "file_blocks" in manifest:
+            # exact block index from the writers — group consecutive
+            # blocks into ~split_bytes byte ranges, zero driver I/O
+            for fname in manifest["files"]:
+                fpath = os.path.join(self.path, fname)
+                offs = manifest["file_blocks"][fname]
+                if not offs:
+                    continue
+                ends = offs[1:] + [os.path.getsize(fpath)]
+                group: list[int] = []
+                group_start = offs[0]
+                for off, end in zip(offs, ends):
+                    group.append(off)
+                    if end - group_start >= self.split_bytes:
+                        out.append(_AvroSplit(fpath, group))
+                        group, group_start = [], end
+                if group:
+                    out.append(_AvroSplit(fpath, group))
+        else:
+            out = [_AvroSplit(p) for p in _committed_files(self.path)]
+        return out or [_AvroSplit("")]
 
-    def read(self, partition: _AvroFile) -> Iterator[tuple]:
+    def read(self, partition: _AvroSplit) -> Iterator[tuple]:
         if partition.path:
-            yield from iter_ocf_rows(partition.path)
+            yield from iter_ocf_rows(partition.path, partition.offsets)
 
 
 class AvroOcfWriter(DataSourceWriter):
@@ -565,15 +624,17 @@ class AvroOcfWriter(DataSourceWriter):
         fname = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.avro"
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, fname), "wb") as f:
-            n = write_ocf(
+            n, blocks = write_ocf(
                 f, self.avro_schema, (tuple(r) for r in it), self.codec, self.block_rows
             )
-        return _FileMsg(fname, n)
+        return _FileMsg(fname, n, blocks)
 
     def commit(self, messages) -> None:
         manifest = {
             "files": sorted(m.filename for m in messages),
             "rows": sum(m.n_rows for m in messages),
+            # per-file block byte offsets: the reader's split index
+            "file_blocks": {m.filename: m.blocks for m in messages},
         }
         tmp = os.path.join(self.path, "._MANIFEST.tmp")
         with open(tmp, "w") as f:
@@ -590,10 +651,11 @@ class AvroOcfWriter(DataSourceWriter):
 
 
 class AvroOcfDataSource(DataSource):
-    """Registered as ``avro_py``. Read: path only (schema comes from the
-    first committed file's embedded Avro schema). Write options:
-    ``codec`` (null|deflate, default null), ``block_rows`` (default
-    4096)."""
+    """Registered as ``avro_py``. Read: path (schema comes from the
+    first committed file's embedded Avro schema) + ``split_bytes``
+    (default 32 MB, target bytes per block-range partition). Write
+    options: ``codec`` (null|deflate, default null), ``block_rows``
+    (default 4096)."""
 
     @classmethod
     def name(cls) -> str:

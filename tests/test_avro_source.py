@@ -183,3 +183,39 @@ def test_unsupported_types_raise(spark, tmp_path):
     df = spark.createDataFrame([({"k": 1},)], "m map<string,int>")
     with pytest.raises(Exception, match="does not support|NotImplemented"):
         df.write.format("avro_py").mode("append").save(str(tmp_path / "bad"))
+
+
+def test_block_split_partitions(spark, tmp_path):
+    """One coalesced file must still fan out across reader partitions
+    via the manifest's block index, with identical rows."""
+    A.register(spark)
+    out = str(tmp_path / "split")
+    rows = [(i, f"text {i} " * 10) for i in range(5000)]
+    df = spark.createDataFrame(rows, "i long, t string").coalesce(1)
+    df.write.format("avro_py").option("block_rows", "250").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    (fname,) = manifest["files"]
+    assert len(manifest["file_blocks"][fname]) == 20  # 5000 / 250
+
+    whole = spark.read.format("avro_py").load(out)
+    split = spark.read.format("avro_py").option("split_bytes", "8192").load(out)
+    assert whole.rdd.getNumPartitions() == 1 or whole.rdd.getNumPartitions() >= 1
+    assert split.rdd.getNumPartitions() > 4  # block ranges, one file
+    got = sorted(tuple(r) for r in split.collect())
+    assert got == rows
+    # block ranges cover every block exactly once, no overlap
+    assert split.count() == whole.count() == 5000
+
+
+def test_block_split_deflate_roundtrip(spark, tmp_path):
+    A.register(spark)
+    out = str(tmp_path / "splitz")
+    rows = [(i,) for i in range(3000)]
+    spark.createDataFrame(rows, "x long").coalesce(1).write.format("avro_py").option(
+        "codec", "deflate"
+    ).option("block_rows", "100").mode("append").save(out)
+    split = spark.read.format("avro_py").option("split_bytes", "1").load(out)
+    # split_bytes=1 -> one partition per block
+    assert split.rdd.getNumPartitions() == 30
+    assert sorted(r.x for r in split.collect()) == list(range(3000))
