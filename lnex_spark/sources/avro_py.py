@@ -62,6 +62,7 @@ from typing import Callable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -650,6 +651,34 @@ class AvroOcfWriter(DataSourceWriter):
                     pass
 
 
+class AvroOcfStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: one ``_MANIFEST-<epoch>`` per micro-batch (same
+    idempotent exactly-once protocol as pysink's JSONL stream writer —
+    a replayed epoch overwrites its own manifest). Batch readers of
+    streamed output should union the per-epoch manifests."""
+
+    def __init__(self, path: str, avro_schema: dict, codec: str, block_rows: int):
+        self._w = AvroOcfWriter(path, avro_schema, codec, block_rows)
+
+    def write(self, it: Iterator) -> _FileMsg:
+        return self._w.write(it)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+            "file_blocks": {m.filename: m.blocks for m in messages},
+        }
+        path = self._w.path
+        tmp = os.path.join(path, f"._MANIFEST-{batchId}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, f"_MANIFEST-{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)
+
+
 class AvroOcfDataSource(DataSource):
     """Registered as ``avro_py``. Read: path (schema comes from the
     first committed file's embedded Avro schema) + ``split_bytes``
@@ -680,6 +709,17 @@ class AvroOcfDataSource(DataSource):
             for f in os.listdir(path):
                 os.remove(os.path.join(path, f))
         return AvroOcfWriter(
+            path,
+            spark_schema_to_avro(schema),
+            self.options.get("codec", "null"),
+            int(self.options.get("block_rows", 4096)),
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> AvroOcfStreamWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("avro_py requires a path")
+        return AvroOcfStreamWriter(
             path,
             spark_schema_to_avro(schema),
             self.options.get("codec", "null"),

@@ -219,3 +219,36 @@ def test_block_split_deflate_roundtrip(spark, tmp_path):
     # split_bytes=1 -> one partition per block
     assert split.rdd.getNumPartitions() == 30
     assert sorted(r.x for r in split.collect()) == list(range(3000))
+
+
+def test_stream_write_matches_batch(spark, tmp_path):
+    """Streaming Avro sink: per-epoch manifests, decodable with the
+    plain OCF reader, rows identical to the batch input."""
+    A.register(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rows = [(i, f"txt {i}") for i in range(60)]
+    schema = "i long, t string"
+    spark.createDataFrame(rows, schema).repartition(3).write.parquet(src)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.format("avro_py")
+        .option("path", out)
+        .option("codec", "deflate")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    epochs = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+    assert epochs, "streaming write must commit at least one epoch manifest"
+    files = set()
+    for e in epochs:
+        files.update(json.load(open(os.path.join(out, e)))["files"])
+    got = []
+    for fname in files:
+        got.extend(A.iter_ocf_rows(os.path.join(out, fname)))
+    assert sorted(got) == rows
