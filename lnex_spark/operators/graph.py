@@ -357,3 +357,106 @@ def bfs_distances(
         )
     und.unpersist()
     return dist
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_iter: int = 20,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Transitive closure of a containment hierarchy by path doubling:
+    ``(node, ancestor, depth)`` for every ancestor reachable from
+    ``node`` along child→parent edges, ``depth`` = minimum hop count.
+
+    The KG materialization's ``locatedIn`` triples form an admin
+    hierarchy (venue → ward → city → state …); rollups "mentions of
+    anywhere inside X" need the closure, not the raw edges. The
+    reference has no graph layer at all (per-tweet extraction only) —
+    this is the corpus-level operation its output begets.
+
+    Scale notes:
+      * path doubling squares reach per round — R ← R ∪ (R ⋈ R) — so
+        a depth-d hierarchy closes in ⌈log₂ d⌉ joins, not d as in
+        naive semi-naive iteration. Admin hierarchies are depth ≲ 12
+        (OSM admin_level), i.e. 4 rounds.
+      * each round is one self-join keyed on the frontier column plus
+        one (node, ancestor) min-depth hash aggregation; lineage is
+        truncated per round exactly like ``connected_components``
+        (localCheckpoint locally; pass ``use_reliable_checkpoint=True``
+        on a real cluster after ``sc.setCheckpointDir``).
+      * output size is nodes × avg-ancestor-count — bounded by depth,
+        NOT quadratic, for trees/DAG hierarchies. A cyclic input would
+        never grow past the cycle's node set (min-depth keeps rows
+        finite) but callers should treat a hit of ``max_iter`` as a
+        data bug, which is why it raises instead of returning.
+    """
+    r = (
+        edges.select(
+            F.col(src).alias("node"), F.col(dst).alias("ancestor"), F.lit(1).alias("depth")
+        )
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if use_reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    r = _truncate(r)
+    for _ in range(max_iter):
+        hop = (
+            r.alias("x")
+            .join(r.alias("y"), F.col("x.ancestor") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.ancestor").alias("ancestor"),
+                (F.col("x.depth") + F.col("y.depth")).alias("depth"),
+            )
+        )
+        new_r = _truncate(
+            r.unionByName(hop)
+            .groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if new_r.count() == r.count():
+            return new_r
+        r = new_r
+    raise RuntimeError(f"transitive_closure: no fixpoint after {max_iter} doubling rounds")
+
+
+def rollup_by_closure(
+    facts: DataFrame,
+    closure: DataFrame,
+    fact_key: str,
+    measure_alias: str = "n_facts",
+) -> DataFrame:
+    """Hierarchy rollup: count facts per ancestor INCLUDING all
+    descendants — ``(ancestor, n_facts)`` where a fact keyed on node v
+    counts toward every ancestor of v and toward v itself.
+
+    One join (facts ⋈ closure-with-self) + one hash aggregation; the
+    closure side is ancestor-per-node rows (depth-bounded), so the
+    join explodes each fact by its ancestor count — the standard
+    fan-out of hierarchical aggregation, linear in depth, never
+    quadratic. Facts keyed on a node outside the hierarchy are
+    dropped (inner join) — rollup is defined over hierarchy members. Spark plans this with partial (map-side) counts before
+    the exchange; at 100 TB the fact side shuffles once on the node
+    key and the closure (gazetteer-sized) broadcasts.
+    """
+    members = (
+        closure.select("node")
+        .unionByName(closure.select(F.col("ancestor").alias("node")))
+        .distinct()
+    )
+    with_self = closure.select("node", "ancestor").unionByName(
+        members.select("node", F.col("node").alias("ancestor"))
+    )
+    f = facts.select(F.col(fact_key).alias("node"))
+    return (
+        f.join(F.broadcast(with_self), "node")
+        .groupBy("ancestor")
+        .agg(F.count("*").alias(measure_alias))
+    )

@@ -925,3 +925,88 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ann_ivfpq_topk(e, q, n_cells=8, nprobe=2, m_subspaces=8, n_codes=16, k=5)
+
+
+# ======================================================================
+# KG hierarchy closure + rollup (graph.transitive_closure /
+# rollup_by_closure): the locatedIn admin hierarchy stood in by a
+# deterministic /8 containment tree over part keys (depth ~4-5 at
+# sf0.01 — enough to force multiple path-doubling rounds), closure
+# value-checked against DuckDB's recursive-CTE fixpoint and the
+# rollup against the closure-join re-derivation.
+# ======================================================================
+_SQL_PART_TREE = """
+    edges AS (
+      SELECT p_partkey AS child, CAST(floor(p_partkey / 8) AS BIGINT) AS parent
+      FROM part WHERE p_partkey >= 1
+    ),
+    reach(node, ancestor, depth) AS (
+      SELECT child, parent, 1 FROM edges
+      UNION
+      SELECT r.node, e.parent, r.depth + 1
+      FROM reach r JOIN edges e ON e.child = r.ancestor
+    ),
+    closure AS (
+      SELECT node, ancestor, min(depth) AS depth FROM reach GROUP BY node, ancestor
+    )
+"""
+
+
+def _part_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") >= 1)
+    return p.select(
+        F.col("p_partkey").alias("child"),
+        F.floor(F.col("p_partkey") / 8).cast("long").alias("parent"),
+    )
+
+
+@register(
+    "kg_closure",
+    f"""
+    WITH RECURSIVE
+    {_SQL_PART_TREE}
+    SELECT node, ancestor, depth FROM closure
+    """,
+)
+def kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a containment hierarchy by path doubling
+    (graph.transitive_closure): every (node, ancestor, min-hop depth)
+    pair of the admin tree, closed in O(log depth) self-joins — the
+    table a 'mentions anywhere inside X' KG query reads."""
+    from lnex_spark.operators.graph import transitive_closure
+
+    return transitive_closure(_part_tree_edges(spark, sf_dir))
+
+
+@register(
+    "kg_closure_rollup",
+    f"""
+    WITH RECURSIVE
+    {_SQL_PART_TREE},
+    members AS (
+      -- explicit DISTINCT: inside WITH RECURSIVE DuckDB compiles a
+      -- bare UNION here with append (recursive-union) semantics
+      SELECT DISTINCT node FROM (
+        SELECT node FROM closure UNION ALL SELECT ancestor FROM closure
+      )
+    ),
+    with_self AS (
+      SELECT node, ancestor FROM closure
+      UNION ALL SELECT node, node FROM members
+    )
+    SELECT w.ancestor, count(*) AS n_facts
+    FROM (SELECT l_partkey AS node FROM lineitem) f
+    JOIN with_self w USING (node)
+    GROUP BY w.ancestor
+    """,
+)
+def kg_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (graph.rollup_by_closure): fact counts per
+    ancestor including all descendants — one broadcast join of the
+    fact table against the (depth-bounded) closure-with-self, one
+    hash aggregation with map-side partials."""
+    from lnex_spark.operators.graph import rollup_by_closure, transitive_closure
+
+    closure = transitive_closure(_part_tree_edges(spark, sf_dir))
+    facts = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return rollup_by_closure(facts, closure, "l_partkey")

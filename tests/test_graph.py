@@ -180,3 +180,70 @@ def test_bfs_distances_multi_source_min(spark):
     src = spark.createDataFrame([(1,), (5,)], "node long")
     got = {(r.node, r.dist) for r in bfs_distances(e, src, max_hops=3).collect()}
     assert got == {(1, 0), (2, 1), (3, 2), (4, 1), (5, 0)}
+
+
+def _tree(spark, pairs):
+    return spark.createDataFrame(pairs, "child long, parent long")
+
+
+def test_transitive_closure_chain_and_branch(spark):
+    from lnex_spark.operators.graph import transitive_closure
+
+    # chain 1->2->3->4->5 (depth 4, needs 2 doubling rounds) + branch 6->3
+    e = _tree(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (6, 3)])
+    got = {(r.node, r.ancestor, r.depth) for r in transitive_closure(e).collect()}
+    assert got == {
+        (1, 2, 1), (1, 3, 2), (1, 4, 3), (1, 5, 4),
+        (2, 3, 1), (2, 4, 2), (2, 5, 3),
+        (3, 4, 1), (3, 5, 2),
+        (4, 5, 1),
+        (6, 3, 1), (6, 4, 2), (6, 5, 3),
+    }
+
+
+def test_transitive_closure_dag_min_depth_and_self_loops(spark):
+    from lnex_spark.operators.graph import transitive_closure
+
+    # diamond: 1->2->4, 1->3->4, plus shortcut 1->4 (min depth wins);
+    # self-loop dropped on entry
+    e = _tree(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (5, 5)])
+    got = {(r.node, r.ancestor, r.depth) for r in transitive_closure(e).collect()}
+    assert got == {
+        (1, 2, 1), (1, 3, 1), (1, 4, 1),
+        (2, 4, 1), (3, 4, 1),
+    }
+
+
+def test_transitive_closure_cycle_raises(spark):
+    import pytest
+
+    from lnex_spark.operators.graph import transitive_closure
+
+    # a 2-cycle reaches a fixpoint of (1,2),(2,1),(1,1),(2,2)... min-depth
+    # keeps it finite, so it converges rather than raising; max_iter=0
+    # forces the raise path instead.
+    e = _tree(spark, [(1, 2), (2, 3)])
+    with pytest.raises(RuntimeError):
+        transitive_closure(e, max_iter=0)
+
+
+def test_rollup_by_closure_counts_include_descendants(spark):
+    from lnex_spark.operators.graph import rollup_by_closure, transitive_closure
+
+    # hierarchy: 1->10, 2->10, 10->100 ; facts on 1,1,2,10,100
+    e = _tree(spark, [(1, 10), (2, 10), (10, 100)])
+    closure = transitive_closure(e)
+    facts = spark.createDataFrame([(1,), (1,), (2,), (10,), (100,)], "k long")
+    got = {(r.ancestor, r.n_facts) for r in rollup_by_closure(facts, closure, "k").collect()}
+    # node 100 (root, ancestor-only) sees all 5; node 10 sees 1,1,2 + itself
+    assert got == {(1, 2), (2, 1), (10, 4), (100, 5)}
+
+
+def test_rollup_by_closure_drops_out_of_hierarchy_facts(spark):
+    from lnex_spark.operators.graph import rollup_by_closure, transitive_closure
+
+    e = _tree(spark, [(1, 10)])
+    closure = transitive_closure(e)
+    facts = spark.createDataFrame([(1,), (999,)], "k long")
+    got = {(r.ancestor, r.n_facts) for r in rollup_by_closure(facts, closure, "k").collect()}
+    assert got == {(1, 1), (10, 1)}
