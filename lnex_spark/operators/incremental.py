@@ -58,3 +58,91 @@ def canonical_from_votes(votes: DataFrame) -> DataFrame:
             "geo_id", F.struct(F.col("votes").alias("v"), (-F.col("geo_id")).alias("g"))
         ).alias("canonical_geo_id")
     )
+
+
+# ======================================================================
+# Triple-set MERGE (assert/retract batches) + snapshot CDC — the
+# maintenance half of K2 graph materialization: the KG table is a SET
+# of (subj, pred, obj); late corrections arrive as small batches of
+# assertions and retractions, and MERGE must apply them without
+# rewriting semantics (Iceberg MERGE INTO on a cluster; this seam
+# reproduces its result through the snapshot log).
+# ======================================================================
+
+TRIPLE_COLS = ("subj", "pred", "obj")
+
+
+def merge_triples(
+    existing: DataFrame, updates: DataFrame, cols: tuple[str, ...] = TRIPLE_COLS
+) -> DataFrame:
+    """Apply an assert/retract batch to a triple set.
+
+    ``updates`` carries ``cols`` plus ``op`` ∈ {'assert', 'retract'}.
+    Result = (existing minus every triple touched by the batch) union
+    (batch triples whose resolved op is assert). Within one batch,
+    assert wins over retract on the same triple (a correction that
+    retracts-then-reasserts is an upsert); asserting an existing
+    triple is idempotent; retracting an absent one is a no-op.
+
+    Scale shape: the batch is groupBy-resolved (batch-sized), its key
+    set BROADCAST into one left-anti join against the big table — the
+    existing table is never shuffled, the whole merge is a map-side
+    pass plus a batch-sized append. This is the plan Iceberg's MERGE
+    INTO picks for a broadcastable source (merge-on-read position
+    deletes); at 10^12 triples anything that shuffles the target is
+    the wrong plan.
+    """
+    key = [F.col(c) for c in cols]
+    resolved = updates.groupBy(*key).agg(
+        F.max(F.when(F.col("op") == "assert", 1).otherwise(0)).alias("is_assert")
+    )
+    kept = existing.join(F.broadcast(resolved.select(*cols)), list(cols), "left_anti")
+    new = resolved.filter(F.col("is_assert") == 1).select(*cols)
+    return kept.unionByName(new)
+
+
+def merge_triples_snapshot(
+    spark,
+    base: str,
+    updates: DataFrame,
+    cols: tuple[str, ...] = TRIPLE_COLS,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """MERGE a batch into the snapshot-logged triple table at ``base``
+    (sources.tableformat): read the latest version, apply
+    ``merge_triples``, write the result as a NEW immutable snapshot and
+    move the pointer. Returns the new version.
+
+    Failure atomicity comes from the snapshot log: a crash mid-write
+    leaves the pointer on the old version (write lands in v=N+1 before
+    the pointer moves), so retrying the same batch converges —
+    resume-safe exactly like the X3 bucket writes."""
+    from lnex_spark.sources.tableformat import read_snapshot, write_snapshot
+
+    merged = merge_triples(read_snapshot(spark, base), updates, cols)
+    return write_snapshot(merged, base, partition_cols=partition_cols)
+
+
+def snapshot_diff(
+    spark,
+    base: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Changelog between two snapshot versions: every row of the newer
+    version absent from the older tagged ``change='added'``, and vice
+    versa ``'removed'`` — Iceberg's CDC/changelog read re-derived from
+    immutable snapshots. Two anti-joins over the two versions (both
+    shuffle — a diff is inherently a co-location of both sides); on a
+    cluster both reads prune to the partitions whose files differ."""
+    from lnex_spark.sources.tableformat import read_snapshot
+
+    old = read_snapshot(spark, base, version=from_version)
+    new = read_snapshot(spark, base, version=to_version)
+    added = new.join(old, list(new.columns), "left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = old.join(new, list(old.columns), "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

@@ -1010,3 +1010,76 @@ def kg_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure = transitive_closure(_part_tree_edges(spark, sf_dir))
     facts = _t(spark, sf_dir, "lineitem").select("l_partkey")
     return rollup_by_closure(facts, closure, "l_partkey")
+
+
+# ======================================================================
+# Triple-set MERGE (incremental.merge_triples): existing = distinct
+# (custkey, 'ordered', orderkey) triples; the batch exercises all four
+# MERGE cases — retract-existing (%10=0), assert-duplicate (%10=1,
+# idempotent), assert-new (%10=2, obj+1000000), retract-absent
+# (%10=3, no-op) — final state value-checked against a relational
+# NOT EXISTS re-derivation.
+# ======================================================================
+_SQL_MERGE_BASE = """
+    existing AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS subj, 'ordered' AS pred,
+             o_orderkey AS obj
+      FROM orders
+    ),
+    upd AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS subj, 'ordered' AS pred,
+             o_orderkey AS obj, 'retract' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT CAST(o_custkey AS VARCHAR), 'ordered', o_orderkey, 'assert'
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT CAST(o_custkey AS VARCHAR), 'ordered', o_orderkey + 1000000, 'assert'
+      FROM orders WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT CAST(o_custkey AS VARCHAR), 'ordered', o_orderkey + 5000000, 'retract'
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    resolved AS (
+      SELECT subj, pred, obj,
+             max(CASE WHEN op = 'assert' THEN 1 ELSE 0 END) AS is_assert
+      FROM upd GROUP BY subj, pred, obj
+    )
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = _t(spark, sf_dir, "orders")
+    subj = F.col("o_custkey").cast("string").alias("subj")
+    pred = F.lit("ordered").alias("pred")
+    existing = o.select(subj, pred, F.col("o_orderkey").alias("obj")).distinct()
+    k = F.col("o_orderkey") % 10
+    upd = (
+        o.filter(k == 0).select(subj, pred, F.col("o_orderkey").alias("obj"), F.lit("retract").alias("op"))
+        .unionByName(o.filter(k == 1).select(subj, pred, F.col("o_orderkey").alias("obj"), F.lit("assert").alias("op")))
+        .unionByName(o.filter(k == 2).select(subj, pred, (F.col("o_orderkey") + 1000000).alias("obj"), F.lit("assert").alias("op")))
+        .unionByName(o.filter(k == 3).select(subj, pred, (F.col("o_orderkey") + 5000000).alias("obj"), F.lit("retract").alias("op")))
+    )
+    return existing, upd
+
+
+@register(
+    "kg_merge_incremental",
+    f"""
+    WITH {_SQL_MERGE_BASE}
+    SELECT e.subj, e.pred, e.obj FROM existing e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM resolved r
+      WHERE r.subj = e.subj AND r.pred = e.pred AND r.obj = e.obj)
+    UNION ALL
+    SELECT subj, pred, obj FROM resolved WHERE is_assert = 1
+    """,
+)
+def kg_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assert/retract MERGE into the triple set (broadcast-anti plan:
+    the big table is never shuffled), value-checked against the
+    relational NOT-EXISTS re-derivation of the final state."""
+    from lnex_spark.operators.incremental import merge_triples
+
+    existing, upd = _merge_inputs(spark, sf_dir)
+    return merge_triples(existing, upd)

@@ -82,3 +82,81 @@ def test_vote_tiebreak_matches_canonicalize(spark):
     a = sorted(map(tuple, canonical_from_votes(batch_votes(w)).collect()))
     b = sorted(map(tuple, canonicalize(w).collect()))
     assert a == b == [("adyar", 3)]
+
+
+# ----------------------------------------------------------------------
+# Triple-set MERGE (assert/retract) + snapshot CDC
+# ----------------------------------------------------------------------
+
+def _tset(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj long")
+
+
+def _uset(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj long, op string")
+
+
+def test_merge_triples_all_four_cases(spark):
+    from lnex_spark.operators.incremental import merge_triples
+
+    existing = _tset(spark, [("a", "p", 1), ("b", "p", 2), ("c", "p", 3)])
+    upd = _uset(
+        spark,
+        [
+            ("a", "p", 1, "retract"),   # retract existing
+            ("b", "p", 2, "assert"),    # assert duplicate (idempotent)
+            ("d", "p", 4, "assert"),    # assert new
+            ("z", "p", 99, "retract"),  # retract absent (no-op)
+        ],
+    )
+    got = sorted(map(tuple, merge_triples(existing, upd).collect()))
+    assert got == [("b", "p", 2), ("c", "p", 3), ("d", "p", 4)]
+
+
+def test_merge_triples_assert_wins_within_batch(spark):
+    from lnex_spark.operators.incremental import merge_triples
+
+    existing = _tset(spark, [("a", "p", 1)])
+    upd = _uset(spark, [("a", "p", 1, "retract"), ("a", "p", 1, "assert")])
+    got = sorted(map(tuple, merge_triples(existing, upd).collect()))
+    assert got == [("a", "p", 1)]
+
+
+def test_merge_snapshot_and_diff_roundtrip(spark, tmp_path):
+    from lnex_spark.operators.incremental import (
+        merge_triples_snapshot,
+        snapshot_diff,
+    )
+    from lnex_spark.sources.tableformat import read_snapshot, write_snapshot
+
+    base = str(tmp_path / "kg")
+    v1 = write_snapshot(_tset(spark, [("a", "p", 1), ("b", "p", 2)]), base)
+    upd = _uset(spark, [("a", "p", 1, "retract"), ("c", "p", 3, "assert")])
+    v2 = merge_triples_snapshot(spark, base, upd)
+    assert (v1, v2) == (1, 2)
+
+    # final state via the pointer
+    got = sorted(map(tuple, read_snapshot(spark, base).collect()))
+    assert got == [("b", "p", 2), ("c", "p", 3)]
+    # time travel still sees v1
+    old = sorted(map(tuple, read_snapshot(spark, base, version=1).collect()))
+    assert old == [("a", "p", 1), ("b", "p", 2)]
+    # CDC between versions
+    diff = sorted(map(tuple, snapshot_diff(spark, base, 1, 2).collect()))
+    assert diff == [("a", "p", 1, "removed"), ("c", "p", 3, "added")]
+
+
+def test_merge_snapshot_retry_converges(spark, tmp_path):
+    """Re-applying the same batch (crash-retry) yields the same final
+    state — one extra version, identical rows."""
+    from lnex_spark.operators.incremental import merge_triples_snapshot
+    from lnex_spark.sources.tableformat import read_snapshot, write_snapshot
+
+    base = str(tmp_path / "kg")
+    write_snapshot(_tset(spark, [("a", "p", 1)]), base)
+    upd = _uset(spark, [("b", "p", 2, "assert"), ("a", "p", 1, "retract")])
+    merge_triples_snapshot(spark, base, upd)
+    first = sorted(map(tuple, read_snapshot(spark, base).collect()))
+    merge_triples_snapshot(spark, base, upd)  # retry
+    second = sorted(map(tuple, read_snapshot(spark, base).collect()))
+    assert first == second == [("b", "p", 2)]

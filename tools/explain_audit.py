@@ -99,6 +99,12 @@ CHECKS = {
         want=["MapInPandas", "Window"],
         forbid=["Join", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r2 triple MERGE: the batch must broadcast into a left-anti hash
+    # join — the big triple table is never shuffled or sort-merged
+    "kg_merge": dict(
+        want=["BroadcastHashJoin LeftAnti"],
+        forbid=["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
@@ -220,6 +226,19 @@ def main() -> None:
     from lnex_spark.operators.similarity import pq_adc_topk
 
     plans["pq_adc"] = grab(pq_adc_topk(emb, q, m_subspaces=8, n_codes=16))
+
+    from lnex_spark.operators.incremental import merge_triples
+
+    big = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_custkey").cast("string").alias("subj"),
+        F.lit("ordered").alias("pred"),
+        F.col("o_orderkey").alias("obj"),
+    )
+    batch = spark.createDataFrame(
+        [("1", "ordered", 7, "retract"), ("2", "ordered", 9_000_000, "assert")],
+        "subj string, pred string, obj long, op string",
+    )
+    plans["kg_merge"] = grab(merge_triples(big, batch))
 
     import re
 
