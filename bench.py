@@ -13,6 +13,11 @@ Queries:
   ann_topk         brute-force cosine top-k over embeddings
   text_quality     columnar quality features over replicated turns
   join_agg         3-way join + aggregate over lineitem/orders/customer
+  sessionize       gap-based sessions over the skewed transcript stream
+  ctx_assembly     previous-3-turn training-pair window over transcripts
+  asof_join        backward as-of join (union+window form) over events
+  ann_ivf/ann_pq   IVF cell-probe / PQ ADC compressed-scan top-k
+  media_decode     encode+decode Arrow stage over real BMP/PPM/WAV payloads
 """
 
 from __future__ import annotations
@@ -155,6 +160,24 @@ def main() -> None:
             key="conv_id",
         ).count(),
     )
+    # training-pair context assembly (r2): previous-3-turn window over the
+    # same skewed transcripts — one conv_id shuffle serves every pair; the
+    # agg keeps the timed region output-bound on compute, not toPandas
+    from pyspark.sql import Window as W
+
+    ctx_w = W.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    run(
+        "ctx_assembly",
+        lambda: (
+            transcripts.withColumn(
+                "context", F.concat_ws(" <SEP> ", F.collect_list("text").over(ctx_w))
+            )
+            .where(F.col("role") == "assistant")
+            .agg(F.sum(F.length("context")).alias("n"))
+            .collect()
+        ),
+    )
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     errors = events.filter(F.col("event_type") == "error").select(
