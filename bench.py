@@ -18,6 +18,7 @@ Queries:
   asof_join        backward as-of join (union+window form) over events
   ann_ivf/ann_pq   IVF cell-probe / PQ ADC compressed-scan top-k
   media_decode     encode+decode Arrow stage over real BMP/PPM/WAV payloads
+  curation_e2e     dedup -> gate -> scrub -> context -> packing over transcripts
 """
 
 from __future__ import annotations
@@ -206,6 +207,22 @@ def main() -> None:
         "media_decode",
         lambda: image_stats(media).unionByName(
             audio_stats_op(media), allowMissingColumns=True
+        ).count(),
+    )
+
+    # transcript-curation flagship (r2): conversation-level exact dedup ->
+    # quality gate -> PII scrub -> previous-3-turn context assembly ->
+    # sharded sequence packing, all relational (zero Python rows).
+    # Permissive gate params so every stage carries the full corpus; the
+    # replicated conversations ARE duplicates, so dedup does real work here.
+    from lnex_spark.operators.curation import curate_transcripts
+
+    run(
+        "curation_e2e",
+        lambda: curate_transcripts(
+            transcripts.select("conv_id", "turn_idx", "role", "text"),
+            min_turns=2,
+            len_band=(1.0, 100000.0),
         ).count(),
     )
 

@@ -232,3 +232,81 @@ def pack_sequences(
     return d.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard long, bin long, n_tokens long"
     )
+
+
+def curate_transcripts(
+    t: DataFrame,
+    budget: int = 120,
+    shards: int = 8,
+    min_turns: int = 10,
+    len_band: tuple[float, float] = (5.0, 200.0),
+) -> DataFrame:
+    """The transcript-curation flagship composition: conversation-level
+    exact dedup → conversation quality gate → digit-run PII mask →
+    previous-3-turn context assembly → sharded greedy sequence packing.
+    Input: (conv_id, turn_idx, role, text); output one row per packed
+    training sequence (seq_id, n_pairs, n_tokens).
+
+    Scale shape: ONE groupBy(conv_id) computes fingerprint + gate stats
+    (sort_array(collect_list(struct)) keeps in-group order deterministic
+    without a window pass); the survivor list is conversation-cardinality
+    and broadcasts back; context assembly and the packing cumsum are
+    windows over conv_id / an md5-derived shard key — nothing global, so
+    no single-partition running sum at 10^12 turns.  Sequences never
+    straddle shards, so per-shard budgets lose nothing.  Zero Python rows.
+    Oracle twin: oracle_defs224.curation_flagship."""
+    from pyspark.sql import Window
+
+    fp = t.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+            )
+        ).alias("fingerprint"),
+        F.count("*").alias("n_turns"),
+        F.avg(F.length("text")).alias("mean_len"),
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("conv_id").alias("conv_id"))
+    gated = (
+        fp.join(keep.select("conv_id"), "conv_id")
+        .where(
+            (F.col("n_turns") >= min_turns)
+            & F.col("mean_len").between(*len_band)
+        )
+        .select("conv_id")
+    )
+    clean = t.join(F.broadcast(gated), "conv_id").withColumn(
+        "text", F.regexp_replace("text", r"[0-9]{4,}", "<NUM>")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    pairs = clean.withColumn(
+        "context", F.concat_ws(" <SEP> ", F.collect_list("text").over(w))
+    ).where(F.col("role") == "assistant")
+    toks = pairs.select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.split(F.trim(F.concat_ws(" ", "context", "text")), r"\s+")).alias(
+            "n_tok"
+        ),
+        (F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int") % shards).alias(
+            "shard"
+        ),
+    )
+    cum_w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tok").over(cum_w))
+    return packed.groupBy(
+        (F.col("shard") * 1000000 + F.floor((F.col("cum") - F.col("n_tok")) / budget))
+        .cast("long")
+        .alias("seq_id")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

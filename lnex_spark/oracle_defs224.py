@@ -1,0 +1,128 @@
+"""The transcript-curation flagship: one composed end-to-end
+LLM-training-data pipeline over the north-rule transcript shape —
+
+    dedup → quality gate → PII scrub → context assembly → packing
+
+— value-hash checked against a full independent DuckDB re-derivation.
+The KG flagship (pipeline.py) demonstrates extraction at scale; this
+demonstrates the other half of what a 100 TB transcript corpus is
+*for*: turning conversations into deduplicated, filtered, packed
+training sequences.
+
+Stage semantics (each also exists as a standalone op elsewhere; this
+entry proves the COMPOSITION stays correct and shuffle-frugal):
+
+  1. duplicate injection + conversation-level exact dedup — the synth
+     source has no dups, so the pipeline unions a re-labeled copy of
+     the first 20 conversations (dup#c<i>); dedup fingerprints each
+     conversation (md5 over turn-ordered texts) and keeps the
+     lexicographically-least conv_id per fingerprint (deterministic
+     winner, no RNG).
+  2. conversation quality gate — n_turns ≥ 10 and mean turn length
+     within band (the Gopher-gate idiom lifted to conversation
+     granularity).
+  3. PII scrub — mask digit runs ≥4 (the reproducible stand-in for
+     phone/SSN masking; regexp dialect shared by both engines).
+  4. context assembly — for every assistant turn of a surviving
+     conversation, previous ≤3 turns joined ' <SEP> ' (ROWS BETWEEN
+     3 PRECEDING AND 1 PRECEDING over one conv_id shuffle).
+  5. sharded sequence packing — token budget 120 per sequence,
+     cumulative token count within an md5-derived 8-way shard
+     (ordered by conv_id, turn_idx), seq_id = shard·10^6 +
+     floor((cum−n)/budget).  Sharding keeps the cumsum window
+     partitioned — a GLOBAL running sum would serialize on one
+     partition at 10^12 turns; per-shard budgets lose nothing
+     (sequences never straddle shards by construction).
+
+Output: (seq_id, n_pairs, n_tokens) per packed sequence — compact,
+sortable, and every upstream stage's correctness is load-bearing in
+the hash.
+
+Scale notes: stage 1 is one groupBy(conv_id) (sort_array keeps
+in-group determinism without a window); the keep-list and gate list
+are conversation-cardinality (≪ turns) and broadcast back; stages 4-5
+are windows over conv_id / shard keys — nothing global, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lnex_spark.oracle_defs223 import _SQL_TR, _transcripts
+from lnex_spark.oracles import register
+
+_BUDGET = 120
+_SHARDS = 8
+
+_CURATION_SQL = f"""
+    WITH {_SQL_TR},
+    -- 1. inject duplicates: re-label conversations 0..19
+    uni AS (
+      SELECT conv_id, turn_idx, role, text FROM tr
+      UNION ALL
+      SELECT 'dup#' || conv_id, turn_idx, role, text FROM tr
+      WHERE CAST(substr(conv_id, 2) AS INTEGER) < 20
+    ),
+    fp AS (
+      SELECT conv_id,
+             md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fingerprint,
+             count(*) AS n_turns,
+             avg(length(text)) AS mean_len
+      FROM uni GROUP BY conv_id
+    ),
+    keep AS (
+      SELECT min(conv_id) AS conv_id FROM fp GROUP BY fingerprint
+    ),
+    -- 2. conversation quality gate
+    gated AS (
+      SELECT f.conv_id FROM fp f JOIN keep k ON f.conv_id = k.conv_id
+      WHERE f.n_turns >= 10 AND f.mean_len BETWEEN 5 AND 200
+    ),
+    -- 3. PII scrub on surviving turns
+    clean AS (
+      SELECT u.conv_id, u.turn_idx, u.role,
+             regexp_replace(u.text, '[0-9]{{4,}}', '<NUM>', 'g') AS text
+      FROM uni u JOIN gated g ON u.conv_id = g.conv_id
+    ),
+    -- 4. context assembly for assistant turns
+    pairs AS (
+      SELECT conv_id, turn_idx,
+             coalesce(string_agg(text, ' <SEP> ') OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context,
+             text AS target, role
+      FROM clean
+    ),
+    toks AS (
+      SELECT conv_id, turn_idx, context, target,
+             len(string_split_regex(trim(context || ' ' || target), '\\s+')) AS n_tok,
+             CAST(('0x' || substr(md5(conv_id), 1, 2)) AS INTEGER) % {_SHARDS} AS shard
+      FROM pairs WHERE role = 'assistant'
+    ),
+    -- 5. sharded greedy packing by cumulative token count
+    packed AS (
+      SELECT shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY conv_id, turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT CAST(shard * 1000000 + ((cum - n_tok) // {_BUDGET}) AS BIGINT) AS seq_id,
+           count(*) AS n_pairs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY 1
+"""
+
+
+@register("curation_flagship", _CURATION_SQL)
+def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.curation import curate_transcripts
+
+    t = _transcripts(spark).drop("tool", "ts")
+    dups = (
+        t.where(F.regexp_extract("conv_id", r"^c(\d+)$", 1).cast("int") < 20)
+        .withColumn("conv_id", F.concat(F.lit("dup#"), F.col("conv_id")))
+    )
+    return curate_transcripts(
+        t.unionByName(dups), budget=_BUDGET, shards=_SHARDS
+    )

@@ -211,3 +211,49 @@ def test_pack_sequences_greedy_and_oversize(spark):
         3: (0, 2, 8),
         100: (1, 0, 2),
     }
+
+
+def _tiny_transcripts(spark, with_dup=True, with_short=True):
+    # conv "a": 6 turns alternating user/assistant, every text >= 5 chars
+    rows = []
+    for i in range(6):
+        role = "assistant" if i % 2 else "user"
+        rows.append(("a", i, role, f"hello turn {i} word"))
+    if with_dup:
+        # conv "b": exact text duplicate of "a" -> dedup keeps min("a","b")
+        rows += [("b", i, r, t) for (_, i, r, t) in rows[:6]]
+    if with_short:
+        rows += [("zz", 0, "user", "short conversation"), ("zz", 1, "assistant", "below min_turns")]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_curate_transcripts_dedup_and_gate(spark):
+    from lnex_spark.operators.curation import curate_transcripts
+
+    kw = dict(budget=10, shards=4, min_turns=4, len_band=(1.0, 200.0))
+    full = curate_transcripts(_tiny_transcripts(spark), **kw).collect()
+    # duplicate conv and the short conv must contribute nothing: result
+    # equals the run on conv "a" alone
+    solo = curate_transcripts(
+        _tiny_transcripts(spark, with_dup=False, with_short=False), **kw
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, solo))
+    # conv "a" has 3 assistant turns -> 3 (context, target) pairs
+    assert sum(r.n_pairs for r in full) == 3
+
+
+def test_curate_transcripts_token_totals(spark):
+    from lnex_spark.operators.curation import curate_transcripts
+
+    # single conv, deterministic token math: assistant turns at idx 1,3,5;
+    # context = previous <=3 turns joined " <SEP> ", target appended.
+    # each turn text = "hello turn {i} word" = 4 tokens; "<SEP>" adds 1.
+    # idx1: ctx=1 turn (4+0 sep) + tgt 4 -> 8
+    # idx3: ctx=3 turns (12 tok + 2 sep) + tgt 4 -> 18
+    # idx5: ctx=3 turns (12 tok + 2 sep) + tgt 4 -> 18
+    out = curate_transcripts(
+        _tiny_transcripts(spark, with_dup=False, with_short=False),
+        budget=100, shards=4, min_turns=4, len_band=(1.0, 200.0),
+    ).collect()
+    assert sum(r.n_tokens for r in out) == 8 + 18 + 18
+    assert sum(r.n_pairs for r in out) == 3

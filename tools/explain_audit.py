@@ -105,6 +105,31 @@ CHECKS = {
         want=["BroadcastHashJoin LeftAnti"],
         forbid=["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r2 context assembly: sliding ROWS frame over ONE conv_id shuffle —
+    # never a self-join blow-up, no Python
+    "ctx_assembly": dict(
+        want=["Window"],
+        forbid=["Join", "CartesianProduct", "EvalPython", "MapInPandas"],
+    ),
+    # r2 duplicate-5-gram spans: explode + gram-frequency hash agg +
+    # flag-back equi-join — never all-pairs, never Python
+    "dup_spans": dict(
+        want=["HashAggregate", "Generate", "Join"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython"],
+    ),
+    # r2 conversation fingerprint: ONE groupBy(conv_id) with
+    # sort_array(collect_list(struct)) — deterministic order WITHOUT a
+    # window pass, so exactly one Exchange and no Window/Join
+    "conv_fp": dict(
+        want=[r"(Hash|Sort|ObjectHash)Aggregate"],
+        forbid=["Window", "Join", "EvalPython", "MapInPandas"],
+    ),
+    # r2 Gopher gates: two-level aggregate with map-side partials —
+    # all built-ins
+    "gopher": dict(
+        want=["HashAggregate", r"partial_sum"],
+        forbid=["Join", "EvalPython", "MapInPandas"],
+    ),
 }
 
 
@@ -239,6 +264,18 @@ def main() -> None:
         "subj string, pred string, obj long, op string",
     )
     plans["kg_merge"] = grab(merge_triples(big, batch))
+
+    from lnex_spark.oracle_defs223 import (
+        conv_dedup_fingerprint,
+        dup_ngram_spans,
+        gopher_quality_gates,
+        turn_context_assembly,
+    )
+
+    plans["ctx_assembly"] = grab(turn_context_assembly(spark, sf))
+    plans["dup_spans"] = grab(dup_ngram_spans(spark, sf))
+    plans["conv_fp"] = grab(conv_dedup_fingerprint(spark, sf))
+    plans["gopher"] = grab(gopher_quality_gates(spark, sf))
 
     import re
 
