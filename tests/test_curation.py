@@ -257,3 +257,56 @@ def test_curate_transcripts_token_totals(spark):
     ).collect()
     assert sum(r.n_tokens for r in out) == 8 + 18 + 18
     assert sum(r.n_pairs for r in out) == 3
+
+
+def test_emit_training_pairs_strings(spark):
+    from lnex_spark.operators.curation import emit_training_pairs
+
+    rows = [
+        ("a", 0, "user", "hi there 12345678 ok"),
+        ("a", 1, "assistant", "hello friend"),
+        ("a", 2, "user", "more words here"),
+        ("a", 3, "assistant", "final answer"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {
+        r.turn_idx: (r.context, r.target)
+        for r in emit_training_pairs(t, min_turns=2, len_band=(1.0, 200.0)).collect()
+    }
+    # digit run masked; previous <=3 turns joined with ' <SEP> '
+    assert got[1] == ("hi there <NUM> ok", "hello friend")
+    assert got[3] == (
+        "hi there <NUM> ok <SEP> hello friend <SEP> more words here",
+        "final answer",
+    )
+
+
+def test_token_arithmetic_matches_string_assembly(spark):
+    """The packing path counts tokens arithmetically; prove it equals
+    counting \\S+ runs in the assembled emit_training_pairs strings,
+    including empty-text and whitespace edge cases."""
+    from pyspark.sql import functions as F
+    from lnex_spark.operators.curation import curate_transcripts, emit_training_pairs
+
+    rows = [
+        ("a", 0, "user", "one two"),
+        ("a", 1, "assistant", ""),            # empty turn text
+        ("a", 2, "user", "  padded   "),      # lead/trail whitespace
+        ("a", 3, "assistant", "x 1234567 y"),
+        ("a", 4, "user", "tail"),
+        ("a", 5, "assistant", "z"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    kw = dict(min_turns=2, len_band=(0.0, 200.0))
+    total_arith = (
+        curate_transcripts(t, budget=10_000, shards=4, **kw)
+        .agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    total_string = (
+        emit_training_pairs(t, **kw)
+        .select(
+            F.size(F.split(F.trim(F.concat_ws(" ", "context", "target")), r"\s+")).alias("n")
+        )
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert total_arith == total_string

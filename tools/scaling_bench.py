@@ -20,13 +20,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+# which bench query carries the scaling evidence: the KG flagship by
+# default; SCALING_QUERY=curation_e2e measures the transcript-curation
+# pipeline under the identical pin/min-of-reps protocol (turns/sec is
+# derived from the same persisted turn count)
+QUERY = os.environ.get("SCALING_QUERY", "kg_flagship")
+
+
 def run_level(cpus: int, replicas: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_REPLICAS"] = str(replicas)
-    # scaling evidence times the flagship alone at an input size where
+    # scaling evidence times one query alone at an input size where
     # the parallel fraction dominates fixed per-job overhead (Amdahl)
-    env["BENCH_ONLY"] = "kg_flagship"
+    env["BENCH_ONLY"] = QUERY
     # min-of-3: single-shot numbers on a shared host are ±30% noise
     # (page cache, JIT, other tenants); the min is the engine's speed
     env.setdefault("BENCH_REPEAT", "2")
@@ -42,7 +49,12 @@ def run_level(cpus: int, replicas: int) -> dict:
         timeout=1200,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    if QUERY != "kg_flagship":
+        # derive the measured query's throughput from the shared turn
+        # count (extra.turns_per_sec is flagship-specific)
+        r["extra"]["turns_per_sec"] = round(r["extra"]["turns"] / r["queries"][QUERY], 1)
+    return r
 
 
 def main() -> None:
@@ -65,6 +77,8 @@ def main() -> None:
         best0 = json.loads((REPO / "BENCH_best.json").read_text())
         sizes = {}
         for key, v in best0.items():
+            if key.count("@") != 1:
+                continue  # suffixed keys belong to non-flagship queries
             c, t = key.split("@")
             sizes.setdefault(int(t), {})[int(c)] = v
         t_big = max(t for t, lv in sizes.items() if n in lv and 4 * n in lv)
@@ -96,7 +110,11 @@ def main() -> None:
             best = json.loads(best_file.read_text())
         except Exception:
             best = {}
-    key_n, key_4n = f"{n}@{rn['extra']['turns']}", f"{4 * n}@{r4n['extra']['turns']}"
+    # non-flagship scaling runs live under their own key namespace so
+    # they never clobber or render into the flagship tables
+    sfx = "" if QUERY == "kg_flagship" else f"@{QUERY}"
+    key_n = f"{n}@{rn['extra']['turns']}{sfx}"
+    key_4n = f"{4 * n}@{r4n['extra']['turns']}{sfx}"
     if tpsn > best.get(key_n, {}).get("tps", 0):
         best[key_n] = {"tps": tpsn, "queries": rn["queries"]}
     if tps4n > best.get(key_4n, {}).get("tps", 0):
@@ -120,6 +138,22 @@ def main() -> None:
         f"local{4 * n}": r4n["queries"],
     }
     print(json.dumps(summary))
+    if QUERY != "kg_flagship":
+        # record the evidence as a surviving note; the flagship tables
+        # above the marker stay owned by the default mode
+        bench_md = REPO / "BENCH.md"
+        old = bench_md.read_text()
+        tag = f"<!-- scaling:{QUERY}@{rn['extra']['turns']} -->"
+        note = (
+            f"{tag} {QUERY} scaling ({rn['extra']['turns']} turns, pinned, "
+            f"best-of-rounds): local[{n}] {tpsn} → local[{4 * n}] {tps4n} "
+            f"turns/s = **{eff}** ({'PASS' if eff >= 0.8 else 'FAIL'}, target 0.8)"
+        )
+        lines = [l for l in old.splitlines() if not l.startswith(tag)]
+        lines.append(note)
+        bench_md.write_text("\n".join(lines) + "\n")
+        print(f"appended {QUERY} note to {bench_md}")
+        return
     r8, r32 = rn, r4n  # naming shim for the report below
     tps8, tps32 = tpsn, tps4n
 
@@ -127,6 +161,8 @@ def main() -> None:
     # multiple input sizes is stronger than the latest size alone
     by_turns: dict[int, dict[int, float]] = {}
     for key, v in best.items():
+        if key.count("@") != 1:
+            continue  # suffixed keys belong to non-flagship queries
         cores_s, turns_s = key.split("@")
         by_turns.setdefault(int(turns_s), {})[int(cores_s)] = v["tps"]
     cfg_rows, eff_rows = [], []
