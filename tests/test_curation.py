@@ -310,3 +310,22 @@ def test_token_arithmetic_matches_string_assembly(spark):
         .agg(F.sum("n")).collect()[0][0]
     )
     assert total_arith == total_string
+
+
+def test_driver_window_order_contract():
+    """The driver samples the first 50 queries() keys; _PRIORITY pins
+    that window to the showcase set.  Guard against a future module
+    import accidentally displacing it."""
+    import __spark_entry__ as E
+    from lnex_spark.oracles import _PRIORITY
+
+    qk = list(E.queries())
+    assert qk[: len(_PRIORITY)] == _PRIORITY
+    assert len(_PRIORITY) == 50
+    sql = E.oracle_sql()
+    rows_only = {k for k in _PRIORITY if k not in sql}
+    # only the five by-nature infrastructure ops lack SQL oracles
+    assert rows_only == {
+        "flagship_kg_triples", "g7_match_struct", "m1_ngram_match",
+        "x2_skew_salt", "x3_checkpoint_lineage",
+    }
