@@ -398,3 +398,52 @@ def curate_transcripts(
         F.count("*").alias("n_pairs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+def conversation_fingerprints(t: DataFrame) -> DataFrame:
+    """(conv_id, fingerprint) per conversation — the commutative
+    bit_xor(xxhash64(turn_idx, text)) fingerprint of
+    ``surviving_conversations``, exposed as the persistent dedup-state
+    shape: at ingestion scale you store THIS table (one 16-byte row
+    per conversation), bucketed by fingerprint, and never re-scan the
+    historical corpus.  Aggregates map-side; the exchange carries
+    conversation cardinality."""
+    return t.groupBy("conv_id").agg(
+        F.bit_xor(F.xxhash64("turn_idx", "text")).alias("fingerprint")
+    )
+
+
+def classify_new_conversations(state_fp: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental ingestion dedup: classify each conversation of a new
+    batch against the accumulated fingerprint state —
+
+      dup_of_state  fingerprint already present in ``state_fp``
+      dup_in_batch  novel vs state, but another batch conversation with
+                    the same fingerprint wins (lexicographically least
+                    conv_id, mirroring surviving_conversations)
+      novel         the batch winner of a fingerprint unseen in state
+
+    Scale shape: one fingerprint-cardinality aggregate over the batch,
+    then a left join + min-window both keyed on fingerprint — the join
+    shuffle already partitions by fingerprint, so the winner window
+    adds a sort but NO second exchange.  State participates only
+    through its (distinct) fingerprint column; with the state table
+    bucketed by fingerprint the join needs no state-side shuffle at
+    all.  The batch→state direction means daily ingestion touches
+    state proportional to the batch, never the 10^12-turn history."""
+    from pyspark.sql import Window
+
+    b = conversation_fingerprints(batch)
+    st = state_fp.select("fingerprint").distinct().withColumn("in_state", F.lit(True))
+    w = Window.partitionBy("fingerprint")
+    return (
+        b.join(st, "fingerprint", "left")
+        .withColumn("winner", F.min("conv_id").over(w))
+        .select(
+            "conv_id",
+            F.when(F.col("in_state").isNotNull(), F.lit("dup_of_state"))
+            .when(F.col("conv_id") != F.col("winner"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

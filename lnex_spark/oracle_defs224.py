@@ -38,10 +38,14 @@ Output: (seq_id, n_pairs, n_tokens) per packed sequence — compact,
 sortable, and every upstream stage's correctness is load-bearing in
 the hash.
 
-Scale notes: stage 1 is one groupBy(conv_id) (sort_array keeps
-in-group determinism without a window); the keep-list and gate list
-are conversation-cardinality (≪ turns) and broadcast back; stages 4-5
-are windows over conv_id / shard keys — nothing global, no Python.
+Scale notes: stage 1 aggregates a commutative
+bit_xor(xxhash64(turn_idx, text)) fingerprint map-side (the SQL here
+keeps the readable ordered-md5 definition — equal duplicate classes,
+which is all the output depends on; the value-hash check proves it);
+the keep/gate list is conversation-cardinality (≪ turns) and
+broadcasts back; stages 3-5 run on token ARITHMETIC (no assembled
+strings in any shuffle — see operators/curation.curate_transcripts);
+windows are keyed by conv_id / shard — nothing global, no Python.
 """
 
 from __future__ import annotations
@@ -126,3 +130,71 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_transcripts(
         t.unionByName(dups), budget=_BUDGET, shards=_SHARDS
     )
+
+
+# --- incremental ingestion dedup -------------------------------------------
+# State = conversations c0..c149 already ingested.  New batch =
+# c100..c199 (50 overlap the state), re-labeled copies new#c0..new#c19
+# (duplicates of state content under new ids), and re-labeled copies
+# bat#c150..bat#c159 (in-batch duplicate pairs with c150..c159, none in
+# state; 'bat#...' < 'c...' lexicographically, so the relabeled copy is
+# the batch winner).  Expected: 70 dup_of_state, 10 dup_in_batch,
+# 50 novel.  The DuckDB twin re-derives fingerprints with the readable
+# ordered-md5 definition; Spark uses the commutative xor (see
+# operators/curation.surviving_conversations) — equal duplicate
+# classes, value-hash-checked here across a JOIN of two fingerprint
+# tables, not just one corpus.
+_INCR_SQL = f"""
+    WITH {_SQL_TR},
+    state AS (
+      SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+      FROM tr WHERE CAST(substr(conv_id, 2) AS INTEGER) < 150 GROUP BY conv_id
+    ),
+    batch_turns AS (
+      SELECT conv_id, turn_idx, text FROM tr
+      WHERE CAST(substr(conv_id, 2) AS INTEGER) >= 100
+      UNION ALL
+      SELECT 'new#' || conv_id, turn_idx, text FROM tr
+      WHERE CAST(substr(conv_id, 2) AS INTEGER) < 20
+      UNION ALL
+      SELECT 'bat#' || conv_id, turn_idx, text FROM tr
+      WHERE CAST(substr(conv_id, 2) AS INTEGER) BETWEEN 150 AND 159
+    ),
+    bfp AS (
+      SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+      FROM batch_turns GROUP BY conv_id
+    ),
+    stf AS (SELECT DISTINCT fp FROM state)
+    SELECT b.conv_id,
+           CASE WHEN s.fp IS NOT NULL THEN 'dup_of_state'
+                WHEN b.conv_id != min(b.conv_id) OVER (PARTITION BY b.fp)
+                  THEN 'dup_in_batch'
+                ELSE 'novel' END AS status
+    FROM bfp b LEFT JOIN stf s ON b.fp = s.fp
+"""
+
+
+@register("curation_incremental", _INCR_SQL)
+def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.curation import (
+        classify_new_conversations,
+        conversation_fingerprints,
+    )
+
+    t = _transcripts(spark).select("conv_id", "turn_idx", "text")
+    num = F.regexp_extract("conv_id", r"^c(\d+)$", 1).cast("int")
+    state_fp = conversation_fingerprints(t.where(num < 150))
+    batch = (
+        t.where(num >= 100)
+        .unionByName(
+            t.where(num < 20).withColumn(
+                "conv_id", F.concat(F.lit("new#"), F.col("conv_id"))
+            )
+        )
+        .unionByName(
+            t.where(num.between(150, 159)).withColumn(
+                "conv_id", F.concat(F.lit("bat#"), F.col("conv_id"))
+            )
+        )
+    )
+    return classify_new_conversations(state_fp, batch)

@@ -329,3 +329,44 @@ def test_driver_window_order_contract():
         "flagship_kg_triples", "g7_match_struct", "m1_ngram_match",
         "x2_skew_salt", "x3_checkpoint_lineage",
     }
+
+
+def test_classify_new_conversations(spark):
+    from lnex_spark.operators.curation import (
+        classify_new_conversations,
+        conversation_fingerprints,
+    )
+
+    def conv(cid, texts):
+        return [(cid, i, txt) for i, txt in enumerate(texts)]
+
+    state = spark.createDataFrame(
+        conv("s1", ["alpha", "beta"]) + conv("s2", ["gamma", "delta"]),
+        "conv_id string, turn_idx int, text string",
+    )
+    batch = spark.createDataFrame(
+        conv("b1", ["alpha", "beta"])        # dup of state s1
+        + conv("b2", ["fresh", "content"])   # novel, but see b0
+        + conv("b0", ["fresh", "content"])   # in-batch dup class winner (b0 < b2)
+        + conv("b3", ["unique", "thing"]),   # novel
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        r.conv_id: r.status
+        for r in classify_new_conversations(conversation_fingerprints(state), batch).collect()
+    }
+    assert got == {
+        "b1": "dup_of_state",
+        "b0": "novel",
+        "b2": "dup_in_batch",
+        "b3": "novel",
+    }
+    # order of turns matters: same texts in a different order are novel
+    swapped = spark.createDataFrame(
+        conv("x1", ["beta", "alpha"]), "conv_id string, turn_idx int, text string"
+    )
+    got2 = {
+        r.conv_id: r.status
+        for r in classify_new_conversations(conversation_fingerprints(state), swapped).collect()
+    }
+    assert got2 == {"x1": "novel"}
