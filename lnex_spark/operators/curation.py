@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 # 16-bit hash space for md5-prefix gating (4 hex chars)
 _HASH_SPACE = 1 << 16
 
+# Transcript-curation contract constants, shared by curate_transcripts
+# (token arithmetic) and emit_training_pairs (string assembly).  The
+# token arithmetic depends on these exact shapes: SEP must be a single
+# \S+ run flanked by whitespace (it contributes the "+1" per context
+# turn), and the PII replacement must be non-empty and whitespace-free
+# (token-count invariant).  Change them only together.
+SEP = " <SEP> "
+CTX_PREV = 3  # previous turns included in a training context
+PII_DIGIT_RUN = r"[0-9]{4,}"
+PII_DIGIT_TOKEN = "<NUM>"
+
 
 def hash_bucket(id_col: Column, salt: str) -> Column:
     """Deterministic bucket in [0, 65536) from md5(salt # id)."""
@@ -242,17 +253,20 @@ def surviving_conversations(
     """Conversation-level exact dedup + quality gate → one-column
     (conv_id) survivor list, conversation cardinality (broadcastable).
 
-    The dedup fingerprint is bit_xor over per-turn xxhash64(turn_idx,
-    text) hashes — commutative, so the groupBy aggregates map-side and
-    its exchange carries one row per conversation, never the text
-    volume; xxhash64 stays JVM-native (no hex/string detour — an
-    md5+conv variant of the same fingerprint measured ~2.5x slower on
-    the one obligatory full-text scan).  With per-conversation-unique
-    turn_idx, two conversations collide iff their ordered texts are
-    equal (up to a ~2^-64 hash collision), i.e. the duplicate classes
-    match the ordered-md5 spec exactly — and only the CLASSES reach
-    the output, so the DuckDB twin keeps the readable ordered-md5
-    definition and the value-hash check proves the equivalence.
+    Duplicate SPEC: two conversations are duplicates iff their
+    (turn_idx, text) pair sequences are equal — turn indices are part
+    of a transcript's identity (equal texts re-indexed differently are
+    NOT duplicates).  The fingerprint is bit_xor over per-turn
+    xxhash64(turn_idx, text) hashes — commutative, so the groupBy
+    aggregates map-side and its exchange carries one row per
+    conversation, never the text volume; xxhash64 stays JVM-native (no
+    hex/string detour — an md5+conv variant of the same fingerprint
+    measured ~2.5x slower on the one obligatory full-text scan).
+    Because the pair multiset determines the pair sequence (turn_idx
+    orders it), the xor collides iff the spec holds (up to a ~2^-64
+    hash collision), and the DuckDB twin implements the SAME spec in
+    its readable form — md5 over 'turn_idx:text' lines in turn order —
+    so the value-hash check proves the equivalence.
     Winner per class = min(conv_id) via a window over the
     conversation-cardinality aggregate (NOT a second aggregate branch:
     a groupBy+self-join form recomputes the full-text pass twice).
@@ -294,12 +308,12 @@ def emit_training_pairs(
 
     gated = surviving_conversations(t, min_turns, len_band)
     clean = t.join(F.broadcast(gated), "conv_id").withColumn(
-        "scrubbed", F.regexp_replace("text", r"[0-9]{4,}", "<NUM>")
+        "scrubbed", F.regexp_replace("text", PII_DIGIT_RUN, PII_DIGIT_TOKEN)
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-CTX_PREV, -1)
     return (
         clean.withColumn(
-            "context", F.concat_ws(" <SEP> ", F.collect_list("scrubbed").over(w))
+            "context", F.concat_ws(SEP, F.collect_list("scrubbed").over(w))
         )
         .where(F.col("role") == "assistant")
         .select("conv_id", "turn_idx", "context", F.col("scrubbed").alias("target"))
@@ -320,18 +334,18 @@ def curate_transcripts(
     training sequence (seq_id, n_pairs, n_tokens).
 
     Scale shape: the dedup/gate pass shuffles ONE ROW PER CONVERSATION,
-    not the text volume.  The oracle-spec fingerprint (md5 over texts
-    in turn order) is replaced by an order-equivalent commutative one —
-    bit_xor over per-turn xxhash64(turn_idx, text) hashes (see
-    ``surviving_conversations``).  turn_idx is unique per conversation
-    (transcript shape invariant), so two conversations xor-collide iff
-    their ordered texts are equal (modulo a ~2^-64 hash collision):
-    the duplicate CLASSES — the only thing the output depends on — are
-    identical, and the DuckDB twin keeps the readable ordered-md5
-    definition, making the value-hash check a proof of that
-    equivalence.  Being commutative, the xor aggregates map-side
-    (partial bit_xor/count/avg), so the groupBy exchange carries
-    conversation cardinality only.  The survivor list
+    not the text volume.  The oracle-spec fingerprint (md5 over
+    'turn_idx:text' lines in turn order — duplicates are conversations
+    with equal (turn_idx, text) sequences) is replaced by an
+    order-equivalent commutative one — bit_xor over per-turn
+    xxhash64(turn_idx, text) hashes (see ``surviving_conversations``
+    for why the equivalence is exact): the duplicate CLASSES — the
+    only thing the output depends on — are identical, and the DuckDB
+    twin keeps the readable ordered-md5 definition, making the
+    value-hash check a proof of that equivalence.  Being commutative,
+    the xor aggregates map-side (partial bit_xor/count/avg), so the
+    groupBy exchange carries conversation cardinality only.  The
+    survivor list
     broadcasts back; the context/packing windows then shuffle only
     (conv_id, turn_idx, role, tok:int) rows for surviving
     conversations — text NEVER enters a shuffle (the first version
@@ -372,7 +386,7 @@ def curate_transcripts(
     clean = t.join(F.broadcast(gated), "conv_id").select(
         "conv_id", "turn_idx", "role", tok.alias("tok")
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-CTX_PREV, -1)
     pairs = clean.withColumn(
         "ctx_tok", F.coalesce(F.sum(F.col("tok") + 1).over(w), F.lit(1)) - 1
     ).where(F.col("role") == "assistant")
@@ -390,8 +404,12 @@ def curate_transcripts(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     packed = toks.withColumn("cum", F.sum("n_tok").over(cum_w))
+    # seq_id = shard·2^40 + bin: the 2^40 stride gives each shard
+    # budget·2^40 (> 10^14) tokens before bins could collide across
+    # shards — a 10^6 stride overflowed at ~10^8 tokens/shard, i.e.
+    # routinely at bench scale
     return packed.groupBy(
-        (F.col("shard") * 1000000 + F.floor((F.col("cum") - F.col("n_tok")) / budget))
+        (F.col("shard") * F.lit(1 << 40) + F.floor((F.col("cum") - F.col("n_tok")) / budget))
         .cast("long")
         .alias("seq_id")
     ).agg(

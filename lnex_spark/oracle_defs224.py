@@ -70,7 +70,8 @@ _CURATION_SQL = f"""
     ),
     fp AS (
       SELECT conv_id,
-             md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fingerprint,
+             md5(string_agg(turn_idx || ':' || text, chr(10) ORDER BY turn_idx))
+               AS fingerprint,
              count(*) AS n_turns,
              avg(length(text)) AS mean_len
       FROM uni GROUP BY conv_id
@@ -99,8 +100,11 @@ _CURATION_SQL = f"""
       FROM clean
     ),
     toks AS (
+      -- token = \\S+ run (NOT split-on-whitespace: split('') is [''],
+      -- miscounting a fully-empty pair as 1 token where a run count
+      -- gives the correct 0)
       SELECT conv_id, turn_idx, context, target,
-             len(string_split_regex(trim(context || ' ' || target), '\\s+')) AS n_tok,
+             len(regexp_extract_all(context || ' ' || target, '\\S+')) AS n_tok,
              CAST(('0x' || substr(md5(conv_id), 1, 2)) AS INTEGER) % {_SHARDS} AS shard
       FROM pairs WHERE role = 'assistant'
     ),
@@ -111,7 +115,8 @@ _CURATION_SQL = f"""
                               ROWS UNBOUNDED PRECEDING) AS cum
       FROM toks
     )
-    SELECT CAST(shard * 1000000 + ((cum - n_tok) // {_BUDGET}) AS BIGINT) AS seq_id,
+    SELECT CAST(CAST(shard AS BIGINT) * (1::BIGINT << 40)
+                + ((cum - n_tok) // {_BUDGET}) AS BIGINT) AS seq_id,
            count(*) AS n_pairs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM packed GROUP BY 1
@@ -147,7 +152,8 @@ def curation_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_SQL = f"""
     WITH {_SQL_TR},
     state AS (
-      SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+      SELECT conv_id,
+             md5(string_agg(turn_idx || ':' || text, chr(10) ORDER BY turn_idx)) AS fp
       FROM tr WHERE CAST(substr(conv_id, 2) AS INTEGER) < 150 GROUP BY conv_id
     ),
     batch_turns AS (
@@ -161,7 +167,8 @@ _INCR_SQL = f"""
       WHERE CAST(substr(conv_id, 2) AS INTEGER) BETWEEN 150 AND 159
     ),
     bfp AS (
-      SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+      SELECT conv_id,
+             md5(string_agg(turn_idx || ':' || text, chr(10) ORDER BY turn_idx)) AS fp
       FROM batch_turns GROUP BY conv_id
     ),
     stf AS (SELECT DISTINCT fp FROM state)

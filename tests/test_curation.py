@@ -295,6 +295,8 @@ def test_token_arithmetic_matches_string_assembly(spark):
         ("a", 3, "assistant", "x 1234567 y"),
         ("a", 4, "user", "tail"),
         ("a", 5, "assistant", "z"),
+        ("b", 0, "assistant", ""),            # fully-empty pair: no ctx, empty target
+        ("b", 1, "user", "x"),
     ]
     t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
     kw = dict(min_turns=2, len_band=(0.0, 200.0))
@@ -302,14 +304,21 @@ def test_token_arithmetic_matches_string_assembly(spark):
         curate_transcripts(t, budget=10_000, shards=4, **kw)
         .agg(F.sum("n_tokens")).collect()[0][0]
     )
+    # token = \S+ run of the assembled string (a fully-empty pair is 0
+    # tokens; split-on-whitespace would miscount it as 1)
     total_string = (
         emit_training_pairs(t, **kw)
         .select(
-            F.size(F.split(F.trim(F.concat_ws(" ", "context", "target")), r"\s+")).alias("n")
+            F.regexp_count(F.concat_ws(" ", "context", "target"), F.lit(r"\S+")).alias("n")
         )
         .agg(F.sum("n")).collect()[0][0]
     )
     assert total_arith == total_string
+    # both conversations survive: 3 pairs from "a" + 1 empty pair from "b"
+    assert (
+        curate_transcripts(t, budget=10_000, shards=4, **kw)
+        .agg(F.sum("n_pairs")).collect()[0][0]
+    ) == 4
 
 
 def test_driver_window_order_contract():

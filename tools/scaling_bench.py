@@ -70,7 +70,13 @@ def main() -> None:
     # shared-host noise comes in bursts, so consecutive reps inside one
     # process can ALL land in a bad window — alternation decorrelates
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
-    if "--render-only" in sys.argv:
+    render_only = "--render-only" in sys.argv
+    if render_only and QUERY != "kg_flagship":
+        # render-only rebuilds from flagship keys; letting it fall into
+        # the QUERY-suffixed best-update path would overwrite the
+        # non-flagship evidence with flagship numbers
+        sys.exit("--render-only renders the flagship tables; unset SCALING_QUERY")
+    if render_only:
         # regenerate BENCH.md from BENCH_best.json without re-measuring;
         # stand in for the "latest run" with the largest accumulated
         # input size that has both levels
@@ -115,11 +121,12 @@ def main() -> None:
     sfx = "" if QUERY == "kg_flagship" else f"@{QUERY}"
     key_n = f"{n}@{rn['extra']['turns']}{sfx}"
     key_4n = f"{4 * n}@{r4n['extra']['turns']}{sfx}"
-    if tpsn > best.get(key_n, {}).get("tps", 0):
-        best[key_n] = {"tps": tpsn, "queries": rn["queries"]}
-    if tps4n > best.get(key_4n, {}).get("tps", 0):
-        best[key_4n] = {"tps": tps4n, "queries": r4n["queries"]}
-    best_file.write_text(json.dumps(best, indent=1))
+    if not render_only:
+        if tpsn > best.get(key_n, {}).get("tps", 0):
+            best[key_n] = {"tps": tpsn, "queries": rn["queries"]}
+        if tps4n > best.get(key_4n, {}).get("tps", 0):
+            best[key_4n] = {"tps": tps4n, "queries": r4n["queries"]}
+        best_file.write_text(json.dumps(best, indent=1))
     if best[key_n]["tps"] > tpsn:
         tpsn, rn = best[key_n]["tps"], {**rn, "queries": best[key_n]["queries"]}
     if best[key_4n]["tps"] > tps4n:
