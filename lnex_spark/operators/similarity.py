@@ -533,3 +533,84 @@ def embedding_near_dups(
         .select("p.vec_a", "p.vec_b", "p.cosine")
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.98,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    then inside each cluster drop every vector that is ≥ ``tau``
+    cosine-similar to a keeper-preferred vector. Keeper order is the
+    paper's keep-low-centroid-similarity variant: lower similarity to
+    the own-cluster centroid wins, ties broken by smaller id.
+
+    Deterministic relational variant (documented divergence from the
+    paper): the paper's greedy pass keeps a vector when every MORE
+    preferred *kept* vector is dissimilar; here a vector is dropped
+    when ANY more-preferred vector (kept or not) is ≥ tau similar —
+    an EXISTS over the intra-cluster pair join. This prunes at least
+    as much as greedy, is order-independent, and is expressible as
+    pure SQL, so the whole decision is value-hash verifiable.
+
+    Scale shape: the only corpus-sized shuffle is the equi-join on
+    cell_id — pair generation never leaves a cluster, so cost is
+    Σ|cell|², bounded by the quantizer granularity (pass kmeans_lloyd
+    centroids with n_cells ∝ corpus/target_cluster_size at scale; the
+    default first-n_cells-by-id centroids are for small/test use,
+    like cosine_topk_ivf).
+
+    Returns (id_col, cell_id, csim, keep) for every input vector.
+    """
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).cast("int").alias("cell_id"), "embedding")
+        )
+    e = embeddings.select(id_col, _as_double(F.col("embedding")).alias("emb"))
+    c = centroids.select("cell_id", _as_double(F.col("embedding")).alias("cemb"))
+    scored = e.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "emb",
+        "cell_id",
+        F.round(_cosine(F.col("emb"), F.col("cemb")), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cell_id", "emb", "csim")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    # b is dominated by a: same cell, a precedes b in keeper order,
+    # and they are near-duplicates. Equi-key cell_id drives the join;
+    # the ordering + cosine predicates evaluate post-match.
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (
+                (F.col("a.csim") < F.col("b.csim"))
+                | ((F.col("a.csim") == F.col("b.csim")) & (aid < bid))
+            ),
+        )
+        .filter(F.round(_cosine(F.col("a.emb"), F.col("b.emb")), 6) >= tau)
+        .select(bid.alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            "csim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -263,3 +263,15 @@ def test_ivfpq_duplicate_found_and_partition_invariant(emb):
     top = next(r for r in got if r[3] == 1)
     assert top[1:] == (20, 0, 1)
     assert got == run(emb.repartition(5))
+
+
+def test_semantic_dedup_keeps_one_per_dup_group(emb):
+    got = {r["vec_id"]: r for r in similarity.semantic_dedup(emb, n_cells=4, tau=0.99).collect()}
+    assert len(got) == 22  # every input vector classified
+    trio = [got[i] for i in (0, 20, 21)]
+    # identical/near-identical vectors land in one cell and exactly one survives
+    assert len({r["cell_id"] for r in trio}) == 1
+    assert sum(r["keep"] for r in trio) == 1
+    # no random 16-dim gaussian pair reaches cos >= 0.99: everything else kept
+    others = [r for i, r in got.items() if i not in (0, 20, 21)]
+    assert all(r["keep"] for r in others)
