@@ -256,17 +256,21 @@ def surviving_conversations(
     Duplicate SPEC: two conversations are duplicates iff their
     (turn_idx, text) pair sequences are equal — turn indices are part
     of a transcript's identity (equal texts re-indexed differently are
-    NOT duplicates).  The fingerprint is bit_xor over per-turn
-    xxhash64(turn_idx, text) hashes — commutative, so the groupBy
-    aggregates map-side and its exchange carries one row per
-    conversation, never the text volume; xxhash64 stays JVM-native (no
-    hex/string detour — an md5+conv variant of the same fingerprint
-    measured ~2.5x slower on the one obligatory full-text scan).
-    Because the pair multiset determines the pair sequence (turn_idx
-    orders it), the xor collides iff the spec holds (up to a ~2^-64
-    hash collision), and the DuckDB twin implements the SAME spec in
-    its readable form — md5 over 'turn_idx:text' lines in turn order —
-    so the value-hash check proves the equivalence.
+    NOT duplicates).  The fingerprint combines per-turn
+    xxhash64(turn_idx, text) hashes with the commutative
+    _multiset_fingerprint combine (sum of the two 32-bit hash halves +
+    row count, re-hashed) — commutative, so the groupBy aggregates
+    map-side and its exchange carries one row per conversation, never
+    the text volume; xxhash64 stays JVM-native (no hex/string detour —
+    an md5+conv variant of the same fingerprint measured ~2.5x slower
+    on the one obligatory full-text scan).  Sums are multiset-faithful
+    where a bit_xor is NOT (xor self-cancels a duplicated row, making
+    [(0,a),(0,a),(1,b)] collide with [(1,b)]); because the pair
+    multiset determines the pair sequence (ordered by (turn_idx,
+    text)), the fingerprint collides iff the spec holds (up to a
+    ~2^-64 hash collision), and the DuckDB twin implements the SAME
+    spec in its readable form — md5 over 'turn_idx:text' lines in turn
+    order — so the value-hash check proves the equivalence.
     Winner per class = min(conv_id) via a window over the
     conversation-cardinality aggregate (NOT a second aggregate branch:
     a groupBy+self-join form recomputes the full-text pass twice).
@@ -275,9 +279,12 @@ def surviving_conversations(
     from pyspark.sql import Window
 
     head = t.groupBy("conv_id").agg(
-        F.bit_xor(F.xxhash64("turn_idx", "text")).alias("fingerprint"),
+        *_multiset_fingerprint_aggs(),
         F.count("*").alias("n_turns"),
         F.avg(F.length("text")).alias("mean_len"),
+    )
+    head = head.withColumn("fingerprint", _multiset_fingerprint_combine()).drop(
+        "_fp_lo", "_fp_hi", "_fp_n"
     )
     return (
         head.withColumn(
@@ -337,15 +344,14 @@ def curate_transcripts(
     not the text volume.  The oracle-spec fingerprint (md5 over
     'turn_idx:text' lines in turn order — duplicates are conversations
     with equal (turn_idx, text) sequences) is replaced by an
-    order-equivalent commutative one — bit_xor over per-turn
-    xxhash64(turn_idx, text) hashes (see ``surviving_conversations``
-    for why the equivalence is exact): the duplicate CLASSES — the
-    only thing the output depends on — are identical, and the DuckDB
-    twin keeps the readable ordered-md5 definition, making the
-    value-hash check a proof of that equivalence.  Being commutative,
-    the xor aggregates map-side (partial bit_xor/count/avg), so the
-    groupBy exchange carries conversation cardinality only.  The
-    survivor list
+    order-equivalent commutative one — summed xxhash64(turn_idx, text)
+    halves + count (see ``surviving_conversations`` for why the
+    equivalence is exact): the duplicate CLASSES — the only thing the
+    output depends on — are identical, and the DuckDB twin keeps the
+    readable ordered-md5 definition, making the value-hash check a
+    proof of that equivalence.  Being commutative, the fingerprint
+    aggregates map-side (partial sums/count/avg), so the groupBy
+    exchange carries conversation cardinality only.  The survivor list
     broadcasts back; the context/packing windows then shuffle only
     (conv_id, turn_idx, role, tok:int) rows for surviving
     conversations — text NEVER enters a shuffle (the first version
@@ -359,7 +365,8 @@ def curate_transcripts(
 
     ``shards`` bounds the packing stage's parallelism (the cumsum
     window has exactly ``shards`` distinct keys): size it O(cluster
-    cores) — measured on this host, shards=8 capped 4→16-core scaling
+    cores), at most 65536 (the md5-prefix width backing the shard
+    key) — measured on this host, shards=8 capped 4→16-core scaling
     at 0.44 efficiency.  The value changes seq_id assignment, so pin
     it when comparing runs.
     Oracle twin: oracle_defs224.curation_flagship."""
@@ -394,7 +401,9 @@ def curate_transcripts(
         "conv_id",
         "turn_idx",
         (F.col("ctx_tok") + F.col("tok")).alias("n_tok"),
-        (F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int") % shards).alias(
+        # 4 hex chars = 65536 raw values before the modulo — 2 chars
+        # silently capped effective parallelism at 256 shards
+        (F.conv(F.substring(F.md5("conv_id"), 1, 4), 16, 10).cast("int") % shards).alias(
             "shard"
         ),
     )
@@ -418,16 +427,38 @@ def curate_transcripts(
     )
 
 
+def _multiset_fingerprint_aggs() -> list[Column]:
+    """The commutative multiset-fingerprint partials: per-row
+    xxhash64(turn_idx, text) split into its two unsigned 32-bit
+    halves, each SUMMED (multiset-faithful — a bit_xor would
+    self-cancel duplicated rows), plus the row count.  Each half is
+    < 2^32 so the int64 sums are overflow-safe for conversations up
+    to 2^31 rows (no ANSI overflow risk)."""
+    h = F.xxhash64("turn_idx", "text")
+    return [
+        F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("_fp_lo"),
+        F.sum(F.shiftrightunsigned(h, 32)).alias("_fp_hi"),
+        F.count("*").alias("_fp_n"),
+    ]
+
+
+def _multiset_fingerprint_combine() -> Column:
+    """Collapse the three partials back to one 8-byte fingerprint."""
+    return F.xxhash64("_fp_lo", "_fp_hi", "_fp_n")
+
+
 def conversation_fingerprints(t: DataFrame) -> DataFrame:
     """(conv_id, fingerprint) per conversation — the commutative
-    bit_xor(xxhash64(turn_idx, text)) fingerprint of
-    ``surviving_conversations``, exposed as the persistent dedup-state
-    shape: at ingestion scale you store THIS table (one 16-byte row
-    per conversation), bucketed by fingerprint, and never re-scan the
-    historical corpus.  Aggregates map-side; the exchange carries
-    conversation cardinality."""
-    return t.groupBy("conv_id").agg(
-        F.bit_xor(F.xxhash64("turn_idx", "text")).alias("fingerprint")
+    multiset fingerprint of ``surviving_conversations`` (sum of
+    xxhash64(turn_idx, text) halves + count, re-hashed), exposed as
+    the persistent dedup-state shape: at ingestion scale you store
+    THIS table (one 16-byte row per conversation), bucketed by
+    fingerprint, and never re-scan the historical corpus.  Aggregates
+    map-side; the exchange carries conversation cardinality."""
+    return (
+        t.groupBy("conv_id")
+        .agg(*_multiset_fingerprint_aggs())
+        .select("conv_id", _multiset_fingerprint_combine().alias("fingerprint"))
     )
 
 

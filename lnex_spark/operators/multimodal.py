@@ -188,7 +188,12 @@ def image_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 px = mc.decode_image(b).astype(np.int64)
-                y = (77 * px[:, :, 0] + 150 * px[:, :, 1] + 29 * px[:, :, 2]) >> 8
+                if px.shape[2] == 1:
+                    # grayscale (PGM): BT.601 of three equal channels is
+                    # the identity ((77+150+29)v >> 8 == v)
+                    y = px[:, :, 0]
+                else:
+                    y = (77 * px[:, :, 0] + 150 * px[:, :, 1] + 29 * px[:, :, 2]) >> 8
                 rows.append(
                     (int(mid), mc.sniff(b), px.shape[1], px.shape[0],
                      int(px.sum()), int(px.min()), int(px.max()), int(y.sum()))

@@ -295,7 +295,10 @@ def _pq_encode_np(mat_q: np.ndarray, cb: np.ndarray) -> np.ndarray:
 
 
 def pq_codes(
-    embeddings: DataFrame, m_subspaces: int = 8, n_codes: int = 16
+    embeddings: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantization encode: (vec_id, m, code) — each vector
     compressed to M sub-codes (here 8×4 bits ≡ 4 bytes per 64-dim
@@ -304,8 +307,12 @@ def pq_codes(
     Scale shape: the codebook is tiny ((M·K·ds) ints — broadcast via
     UDF closure), encoding is ONE zero-shuffle Arrow pass with all math
     numpy-vectorized; emitted exploded (no array columns) for direct
-    value-hash checks."""
-    cb = _pq_codebook_np(embeddings, m_subspaces, n_codes)
+    value-hash checks.  Pass ``codebook`` when the caller already
+    derived it (ann_ivfpq_topk needs it for the distance tables too —
+    deriving it twice costs a second sort+collect driver job)."""
+    cb = codebook if codebook is not None else _pq_codebook_np(
+        embeddings, m_subspaces, n_codes
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -462,7 +469,7 @@ def ann_ivfpq_topk(
     spark = embeddings.sparkSession
     dt_df = spark.createDataFrame(dt_rows, "query_id long, m int, code int, d2 long")
 
-    codes = pq_codes(embeddings, m_subspaces, n_codes)
+    codes = pq_codes(embeddings, m_subspaces, n_codes, codebook=cb)
     cand = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )

@@ -371,7 +371,12 @@ def top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         "doc_id",
         F.explode(
-            F.expr("transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))")
+            F.expr(
+                # greatest(…, 0): slice throws on negative length, which
+                # size(ws) - 1 hits when a document is empty/whitespace-only
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (w, i) -> concat(w, ' ', ws[i + 1]))"
+            )
         ).alias("bigram"),
     )
     bf = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))

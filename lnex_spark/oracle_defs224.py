@@ -38,8 +38,8 @@ Output: (seq_id, n_pairs, n_tokens) per packed sequence — compact,
 sortable, and every upstream stage's correctness is load-bearing in
 the hash.
 
-Scale notes: stage 1 aggregates a commutative
-bit_xor(xxhash64(turn_idx, text)) fingerprint map-side (the SQL here
+Scale notes: stage 1 aggregates a commutative multiset fingerprint
+(summed xxhash64(turn_idx, text) halves + count) map-side (the SQL here
 keeps the readable ordered-md5 definition — equal duplicate classes,
 which is all the output depends on; the value-hash check proves it);
 the keep/gate list is conversation-cardinality (≪ turns) and
@@ -105,7 +105,7 @@ _CURATION_SQL = f"""
       -- gives the correct 0)
       SELECT conv_id, turn_idx, context, target,
              len(regexp_extract_all(context || ' ' || target, '\\S+')) AS n_tok,
-             CAST(('0x' || substr(md5(conv_id), 1, 2)) AS INTEGER) % {_SHARDS} AS shard
+             CAST(('0x' || substr(md5(conv_id), 1, 4)) AS INTEGER) % {_SHARDS} AS shard
       FROM pairs WHERE role = 'assistant'
     ),
     -- 5. sharded greedy packing by cumulative token count

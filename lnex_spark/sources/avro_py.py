@@ -52,9 +52,12 @@ counterpart — it implements the engine's source/sink coverage brief
 
 from __future__ import annotations
 
+import calendar
 import json
 import os
 import struct
+import time
+import uuid
 import zlib
 from datetime import date, datetime, timedelta, timezone
 from typing import Callable, Iterator
@@ -246,16 +249,31 @@ def _compile_encoder(t: object) -> Callable[[object, bytearray], None]:
         return enc_union
     if isinstance(t, dict):
         lt = t.get("logicalType")
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt == "timestamp-micros":
+            # Instant semantics. Spark's Python boundary hands TimestampType
+            # values as NAIVE datetimes in the OS-LOCAL zone
+            # (TimestampType.fromInternal uses time.mktime/fromtimestamp),
+            # so mirror TimestampType.toInternal exactly — treating naive
+            # values as UTC writes a wrong instant whenever the worker's
+            # zone isn't UTC.
 
             def enc_ts(v, out):
-                if v.tzinfo is None:  # Spark hands back naive session-tz values
-                    v = v.replace(tzinfo=timezone.utc)
-                out += _enc_long(
-                    int((v - _EPOCH_DT) // timedelta(microseconds=1))
-                )
+                if v.tzinfo is None:
+                    secs = int(time.mktime(v.timetuple()))
+                else:
+                    secs = calendar.timegm(v.utctimetuple())
+                out += _enc_long(secs * 1000000 + v.microsecond)
 
             return enc_ts
+        if lt == "local-timestamp-micros":
+            # Wall-clock semantics (TimestampNTZType): zone-independent.
+
+            def enc_ts_ntz(v, out):
+                out += _enc_long(
+                    calendar.timegm(v.timetuple()) * 1000000 + v.microsecond
+                )
+
+            return enc_ts_ntz
         if lt == "date":
             return lambda v, out: out.__iadd__(_enc_long((v - _EPOCH_DATE).days))
         if t.get("type") == "array":
@@ -309,17 +327,32 @@ def _compile_decoder(t: object) -> Callable[[memoryview, int], tuple[object, int
         return dec_union
     if isinstance(t, dict):
         lt = t.get("logicalType")
-        if lt in ("timestamp-micros", "timestamp-millis", "local-timestamp-micros", "local-timestamp-millis"):
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            # instant → naive OS-local, mirroring TimestampType.fromInternal
             mult = 1000 if lt.endswith("millis") else 1
 
             def dec_ts(buf, pos, _m=mult):
                 us, pos = _dec_long(buf, pos)
-                # naive UTC — the inverse of enc_ts, so round-trips are identity
+                us *= _m
+                return (
+                    datetime.fromtimestamp(us // 1000000).replace(
+                        microsecond=us % 1000000
+                    ),
+                    pos,
+                )
+
+            return dec_ts
+        if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+            # wall clock → naive, mirroring TimestampNTZType.fromInternal
+            mult = 1000 if lt.endswith("millis") else 1
+
+            def dec_ts_ntz(buf, pos, _m=mult):
+                us, pos = _dec_long(buf, pos)
                 return (_EPOCH_DT + timedelta(microseconds=us * _m)).replace(
                     tzinfo=None
                 ), pos
 
-            return dec_ts
+            return dec_ts_ntz
         if lt == "date":
 
             def dec_date(buf, pos):
@@ -454,21 +487,45 @@ def read_ocf_header(f) -> tuple[dict, str, bytes, int]:
     head = f.read(1 << 16)
     if head[:4] != _MAGIC:
         raise ValueError("not an Avro object container file")
-    buf = memoryview(head)
     pos = 4
     meta: dict[str, bytes] = {}
     while True:
-        n, pos = _dec_long(buf, pos)
-        if n == 0:
+        # a foreign writer's metadata (e.g. a very wide schema) can run
+        # past any fixed prefix — grow the buffer and retry on underrun
+        try:
+            buf = memoryview(head)
+            p = pos
+            done = False
+            pairs: list[tuple[bytes, bytes]] = []
+            n, p = _dec_long(buf, p)
+            if n == 0:
+                done = True
+            else:
+                if n < 0:
+                    n = -n
+                    _, p = _dec_long(buf, p)
+                for _ in range(n):
+                    k, p = _dec_bytes(buf, p)
+                    v, p = _dec_bytes(buf, p)
+                    pairs.append((k, v))
+            if not done and p > len(head):
+                raise IndexError  # _dec_bytes sliced past the buffer
+        except (IndexError, struct.error):
+            more = f.read(1 << 20)
+            if not more:
+                raise ValueError("truncated Avro header")
+            head += more
+            continue
+        pos = p
+        if done:
             break
-        if n < 0:
-            n = -n
-            _, pos = _dec_long(buf, pos)
-        for _ in range(n):
-            k, pos = _dec_bytes(buf, pos)
-            v, pos = _dec_bytes(buf, pos)
-            meta[k.decode()] = v
-    sync = bytes(buf[pos : pos + 16])
+        meta.update({k.decode(): v for k, v in pairs})
+    while len(head) < pos + 16:
+        more = f.read(1 << 20)
+        if not more:
+            raise ValueError("truncated Avro header")
+        head += more
+    sync = bytes(head[pos : pos + 16])
     pos += 16
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
@@ -558,7 +615,26 @@ def _read_manifest(path: str) -> dict | None:
     if os.path.isfile(mpath):
         with open(mpath) as f:
             return json.load(f)
-    return None
+    # streamed output: union the per-epoch _MANIFEST-<N> manifests. A
+    # replayed epoch overwrote its own manifest, and a crashed attempt's
+    # orphan part files are in no manifest — both excluded here, so batch
+    # reads of streamed directories stay exactly-once.
+    epoch_names = sorted(
+        n for n in (os.listdir(path) if os.path.isdir(path) else [])
+        if n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+    )
+    if not epoch_names:
+        return None
+    files: list[str] = []
+    blocks: dict[str, list[int]] = {}
+    rows = 0
+    for n in epoch_names:
+        with open(os.path.join(path, n)) as f:
+            m = json.load(f)
+        files.extend(m["files"])
+        blocks.update(m.get("file_blocks", {}))
+        rows += m.get("rows", 0)
+    return {"files": sorted(set(files)), "rows": rows, "file_blocks": blocks}
 
 
 def _committed_files(path: str) -> list[str]:
@@ -589,7 +665,12 @@ class AvroOcfReader(DataSourceReader):
             # blocks into ~split_bytes byte ranges, zero driver I/O
             for fname in manifest["files"]:
                 fpath = os.path.join(self.path, fname)
-                offs = manifest["file_blocks"][fname]
+                offs = manifest["file_blocks"].get(fname)
+                if offs is None:
+                    # manifest entry without a block index (e.g. a foreign
+                    # file folded in by an append) — whole-file split
+                    out.append(_AvroSplit(fpath))
+                    continue
                 if not offs:
                     continue
                 ends = offs[1:] + [os.path.getsize(fpath)]
@@ -612,17 +693,31 @@ class AvroOcfReader(DataSourceReader):
 
 
 class AvroOcfWriter(DataSourceWriter):
-    def __init__(self, path: str, avro_schema: dict, codec: str, block_rows: int):
+    def __init__(
+        self,
+        path: str,
+        avro_schema: dict,
+        codec: str,
+        block_rows: int,
+        overwrite: bool = True,
+    ):
         self.path = path
         self.avro_schema = avro_schema
         self.codec = codec
         self.block_rows = block_rows
+        self.overwrite = overwrite
+        # taskAttemptId is only unique within one application — two runs
+        # writing the same directory would collide on part names and
+        # clobber committed files before the commit point. A per-job
+        # token (minted on the driver, shipped pickled to every task)
+        # makes filenames globally unique.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, it: Iterator) -> _FileMsg:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        fname = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.avro"
+        fname = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}-{self.job_token}.avro"
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, fname), "wb") as f:
             n, blocks = write_ocf(
@@ -631,16 +726,47 @@ class AvroOcfWriter(DataSourceWriter):
         return _FileMsg(fname, n, blocks)
 
     def commit(self, messages) -> None:
-        manifest = {
-            "files": sorted(m.filename for m in messages),
-            "rows": sum(m.n_rows for m in messages),
-            # per-file block byte offsets: the reader's split index
-            "file_blocks": {m.filename: m.blocks for m in messages},
-        }
+        files = sorted(m.filename for m in messages)
+        rows = sum(m.n_rows for m in messages)
+        # per-file block byte offsets: the reader's split index
+        blocks = {m.filename: m.blocks for m in messages}
+        if not self.overwrite:
+            # append: fold everything already committed (manifest union,
+            # or the *.avro glob of a manifest-less foreign directory —
+            # those get whole-file splits) into the new manifest
+            old = _read_manifest(self.path)
+            if old is None:
+                prior = [
+                    n
+                    for n in os.listdir(self.path)
+                    if n.endswith(".avro") and n not in set(files)
+                ]
+                old = {"files": prior, "rows": 0, "file_blocks": {}}
+            files = sorted(set(files) | set(old["files"]))
+            rows += old.get("rows", 0)
+            blocks = {**old.get("file_blocks", {}), **blocks}
+        manifest = {"files": files, "rows": rows, "file_blocks": blocks}
         tmp = os.path.join(self.path, "._MANIFEST.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+        # the atomic manifest replace IS the commit point: readers switch
+        # from the old file set to the new one in one rename
         os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+        if self.overwrite:
+            # post-commit cleanup of superseded data — a failure before the
+            # rename leaves the old manifest + old files fully intact
+            # (all-or-nothing), a failure after it only leaves garbage files
+            # no manifest references
+            keep = set(files) | {"_MANIFEST"}
+            for n in os.listdir(self.path):
+                p = os.path.join(self.path, n)
+                # stale per-epoch manifests go too — they reference files
+                # this overwrite just superseded
+                if n not in keep and os.path.isfile(p):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -705,14 +831,16 @@ class AvroOcfDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("avro_py requires a path")
-        if overwrite and os.path.isdir(path):
-            for f in os.listdir(path):
-                os.remove(os.path.join(path, f))
+        # NOTE: overwrite must NOT delete anything here (planning time,
+        # before any task ran) — old data is removed in commit(), after
+        # the new manifest is atomically in place, so a failed job never
+        # destroys the previous table contents.
         return AvroOcfWriter(
             path,
             spark_schema_to_avro(schema),
             self.options.get("codec", "null"),
             int(self.options.get("block_rows", 4096)),
+            overwrite=overwrite,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> AvroOcfStreamWriter:

@@ -252,3 +252,107 @@ def test_stream_write_matches_batch(spark, tmp_path):
     for fname in files:
         got.extend(A.iter_ocf_rows(os.path.join(out, fname)))
     assert sorted(got) == rows
+
+
+def test_append_merges_manifest(spark, tmp_path):
+    A.register(spark)
+    out = str(tmp_path / "app")
+    spark.createDataFrame([(i,) for i in range(30)], "x long").write.format(
+        "avro_py"
+    ).mode("append").save(out)
+    spark.createDataFrame([(i,) for i in range(100, 105)], "x long").write.format(
+        "avro_py"
+    ).mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["rows"] == 35
+    got = {r["x"] for r in spark.read.format("avro_py").load(out).collect()}
+    assert got == set(range(30)) | set(range(100, 105))
+
+
+def test_overwrite_preserves_old_data_until_commit(spark, tmp_path):
+    """The commit point is the atomic _MANIFEST replace — planning a
+    second overwrite job must not touch the first job's files."""
+    A.register(spark)
+    out = str(tmp_path / "atomic")
+    spark.createDataFrame([(1,)], "x long").write.format("avro_py").mode(
+        "overwrite"
+    ).save(out)
+    ds = A.AvroOcfDataSource({"path": out})
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ds.writer(StructType([StructField("x", LongType())]), overwrite=True)
+    # planning a writer deleted nothing
+    assert spark.read.format("avro_py").load(out).collect()[0]["x"] == 1
+
+
+def test_batch_read_of_streamed_dir(spark, tmp_path):
+    """spark.read over a streaming-sink directory unions the per-epoch
+    manifests (no _MANIFEST file exists there)."""
+    A.register(spark)
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    rows = [(i,) for i in range(50)]
+    spark.createDataFrame(rows, "i long").repartition(2).write.parquet(src)
+    q = (
+        spark.readStream.schema("i long")
+        .parquet(src)
+        .writeStream.format("avro_py")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+    got = sorted(r["i"] for r in spark.read.format("avro_py").load(out).collect())
+    assert got == list(range(50))
+
+
+def test_timestamp_codec_matches_spark_boundary_non_utc():
+    """TimestampType crosses the Python boundary as naive OS-LOCAL
+    datetimes; the codec must invert TimestampType.toInternal exactly,
+    in any zone (regression: naive values were treated as UTC)."""
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    sch = A.spark_schema_to_avro(
+        StructType([StructField("ts", TimestampType(), False)])
+    )
+    t = sch["fields"][0]["type"]
+    enc = A._compile_encoder(t)
+    dec = A._compile_decoder(t)
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        naive = datetime(2025, 6, 1, 12, 0, 0, 123456)  # EDT wall clock
+        internal = TimestampType().toInternal(naive)  # Spark's own micros
+        out = bytearray()
+        enc(naive, out)
+        got, _ = A._dec_long(memoryview(bytes(out)), 0)
+        assert got == internal  # instant written == Spark's internal micros
+        back, _ = dec(memoryview(bytes(out)), 0)
+        assert back == TimestampType().fromInternal(internal) == naive
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def test_header_metadata_past_64k(tmp_path):
+    """A conformant foreign OCF whose header metadata exceeds 64 KiB
+    (e.g. a huge schema doc) must still parse."""
+    sch = {
+        "type": "record",
+        "name": "r",
+        "doc": "x" * (1 << 17),  # 128 KiB of metadata
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    p = str(tmp_path / "big_header.avro")
+    A.write_rows_local(p, sch, [(7,), (8,)])
+    rows = list(A.iter_ocf_rows(p))
+    assert rows == [(7,), (8,)]

@@ -379,3 +379,22 @@ def test_classify_new_conversations(spark):
         for r in classify_new_conversations(conversation_fingerprints(state), swapped).collect()
     }
     assert got2 == {"x1": "novel"}
+
+
+def test_fingerprint_is_multiset_faithful(spark):
+    """Regression: a bit_xor fingerprint self-cancels a duplicated
+    (turn_idx, text) row, colliding [(0,a),(0,a),(1,b)] with [(1,b)].
+    The summed-halves fingerprint must keep them distinct, while still
+    collapsing true duplicates."""
+    from lnex_spark.operators.curation import conversation_fingerprints
+
+    rows = [
+        ("dupRow", 0, "a"), ("dupRow", 0, "a"), ("dupRow", 1, "b"),
+        ("single", 1, "b"),
+        ("copy1", 3, "x"), ("copy1", 4, "y"),
+        ("copy2", 3, "x"), ("copy2", 4, "y"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fp = {r["conv_id"]: r["fingerprint"] for r in conversation_fingerprints(t).collect()}
+    assert fp["dupRow"] != fp["single"]  # xor would have collided these
+    assert fp["copy1"] == fp["copy2"]  # true duplicates still collapse

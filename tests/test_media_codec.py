@@ -219,3 +219,18 @@ def test_real_decoder_env_gate(spark):
     media = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="no pure-Python decoder"):
         decode_features(media, use_real_decoder=True).collect()
+
+
+def test_image_stats_pgm_grayscale(spark):
+    """image_stats claims formats mix freely in one column — a PGM
+    (single-channel) payload must not crash the BT.601 luma math
+    (regression: px[:, :, 1] IndexError on (H, W, 1) arrays)."""
+    from lnex_spark.operators.multimodal import image_stats
+
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    rows = [(0, "image", bytearray(mc.encode_pgm(g)))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = image_stats(media).collect()[0]
+    assert got["fmt"] == "pgm" and (got["width"], got["height"]) == (8, 6)
+    assert got["px_sum"] == int(g.sum())
+    assert got["y_sum"] == int(g.sum())  # BT.601 of equal channels = identity
