@@ -1296,8 +1296,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaz AS (
       SELECT c_custkey AS geo_id, c_name AS name,
-             (c_custkey % 170) - 85 + 0.25 AS lat,
-             (c_custkey % 350) - 175 + 0.5 AS lon
+             -- CAST: int + decimal literal is DECIMAL in DuckDB, whose
+             -- trailing-zero rendering diverges from Spark's DOUBLE
+             CAST((c_custkey % 170) - 85 + 0.25 AS DOUBLE) AS lat,
+             CAST((c_custkey % 350) - 175 + 0.5 AS DOUBLE) AS lon
       FROM customer
     )
     SELECT geo_id, name, lat, lon FROM gaz

@@ -458,7 +458,11 @@ _RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
 @register(
     "mixture_blend_docs",
     f"""
-    WITH rates(source, rate) AS (VALUES {", ".join(f"('{s}', {r})" for s, r in _RATES.items())}),
+    WITH rates(source, rate) AS (
+      -- CAST: bare decimal literals land as DECIMAL(4,3) in DuckDB and
+      -- canonicalize as '0.500' where Spark's DOUBLE prints '0.5'
+      VALUES {", ".join(f"('{s}', CAST({r} AS DOUBLE))" for s, r in _RATES.items())}
+    ),
     gated AS (
       SELECT d.doc_id, d.source, r.rate
       FROM documents d JOIN rates r ON d.source = r.source
