@@ -587,11 +587,24 @@ def semantic_dedup(
         "cell_id",
         F.round(_cosine(F.col("emb"), F.col("cemb")), 6).alias("csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    # argmax via min-of-struct AGGREGATION, not a ranking window: the
+    # hash agg gets map-side partials (the exchange carries ~1 row per
+    # vector) and needs no per-vector sort — same reasoning as L2/L3
+    # (operators/link.py). Tie on csim → smaller cell_id, matching the
+    # oracle's row_number ordering.
     assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, "cell_id", "emb", "csim")
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("csim")).alias("neg_csim"),
+                    F.col("cell_id").alias("cell_id"),
+                    F.col("csim").alias("csim"),
+                    F.col("emb").alias("emb"),
+                )
+            ).alias("_best")
+        )
+        .select(id_col, "_best.cell_id", "_best.emb", "_best.csim")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
