@@ -142,12 +142,23 @@ def compare_op(name: str, sdf_pdf: pd.DataFrame, ddf: pd.DataFrame | None) -> li
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    if flags:
+        # silently ignoring these once made `--jobs 4` check 0 ops
+        # (the stray `4` became an op-name filter matching nothing)
+        print(f"unknown flag(s) {flags}: usage is [sf_dir] [only_op ...]")
+        return 2
+    args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     from lnex_spark.session import get_spark
     import __spark_entry__ as E
+
+    unknown = only - set(E.queries())
+    if unknown:
+        print(f"unknown op name(s): {sorted(unknown)}")
+        return 2
 
     spark = get_spark(master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
