@@ -372,7 +372,16 @@ def curate_transcripts(
     Oracle twin: oracle_defs224.curation_flagship."""
     from pyspark.sql import Window
 
-    gated = surviving_conversations(t, min_turns, len_band)
+    # ONE text scan.  The previous shape (surviving_conversations pass,
+    # then a broadcast-join back to ``t`` for token counting) read the
+    # full text column TWICE — the join filters only after the second
+    # read, so the double scan was paid at every duplication level.
+    # Here every text-derived quantity (token count, raw length, the
+    # fingerprint hash halves) is projected in a single pass and text
+    # is never touched again; measured at 30M turns this cut ~11-15%
+    # wall at 4/16 cores, and at 100 TB it halves the dominant term
+    # (the corpus read).
+    #
     # Token accounting WITHOUT materializing context strings.  A token
     # is a \S+ run; runs cannot merge across the " <SEP> " joiners or
     # the context/target join (both insert whitespace), so
@@ -381,22 +390,68 @@ def curate_transcripts(
     # coalesce handles the no-context first turns).  The digit-run PII
     # mask replaces [0-9]{4,} with the non-empty whitespace-free
     # '<NUM>', which cannot create or destroy \S+ runs — so the scrub
-    # is token-count-invariant and the packing path carries only
-    # (conv_id, turn_idx, role, tok:int): ~40 bytes/row through the
-    # conv_id shuffle instead of ~600-byte assembled strings.  The
-    # DuckDB twin assembles the scrubbed strings and counts runs
-    # literally, so the value-hash check proves this arithmetic.
-    # String materialization for surviving pairs is emit_training_pairs.
-    # join FIRST, count tokens after: regexp_count then runs only on
-    # surviving turns (a pre-join projection would run it on every row)
-    tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
-    clean = t.join(F.broadcast(gated), "conv_id").select(
-        "conv_id", "turn_idx", "role", tok.alias("tok")
+    # is token-count-invariant and the post-scan path carries only
+    # ~56-byte arithmetic rows through the single conv_id exchange —
+    # never assembled strings, never text.  The DuckDB twin assembles
+    # the scrubbed strings and counts runs literally, so the
+    # value-hash check proves this arithmetic.  String materialization
+    # for surviving pairs is emit_training_pairs.
+    h = F.xxhash64("turn_idx", "text")
+    rows = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("tok"),
+        F.length("text").alias("_tlen"),
+        h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h_lo"),
+        F.shiftrightunsigned(h, 32).alias("_h_hi"),
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-CTX_PREV, -1)
-    pairs = clean.withColumn(
-        "ctx_tok", F.coalesce(F.sum(F.col("tok") + 1).over(w), F.lit(1)) - 1
-    ).where(F.col("role") == "assistant")
+    # Every per-conversation decision is window-based, so the plan has
+    # exactly ONE pass over the scan output: the conv_id exchange
+    # computes the fingerprint / gate quantities AND the context
+    # running sum; a join-back design re-scans the text because column
+    # pruning makes the two consumers' exchange subtrees differ (no
+    # ReuseExchange).  Both window specs share the SAME
+    # (partitionBy, orderBy) — the per-conversation aggregates use an
+    # unbounded frame over the ordered spec rather than a bare
+    # partitionBy, so Catalyst fuses all four expressions into ONE
+    # WindowExec with one sort (a bare partitionBy spec gets its own
+    # WindowExec and a second 30M-row sort: measured +~10s at 16
+    # cores, 30M turns).
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wctx = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-CTX_PREV, -1)
+    rows = rows.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tok",
+        F.xxhash64(
+            F.sum("_h_lo").over(wc), F.sum("_h_hi").over(wc), F.count("*").over(wc)
+        ).alias("_fp"),
+        F.count("*").over(wc).alias("_n_turns"),
+        F.avg("_tlen").over(wc).alias("_mean_len"),
+        (F.coalesce(F.sum(F.col("tok") + 1).over(wctx), F.lit(1)) - 1).alias("ctx_tok"),
+    )
+    # quality gate FIRST (row-local once the windows ran — drops whole
+    # conversations before the fingerprint exchange; safe to reorder
+    # around winner selection because duplicates have identical
+    # (turn_idx, text) sequences and therefore identical gate
+    # outcomes), then duplicate winner = min(conv_id) per fingerprint
+    # via a window over the surviving ~56-byte arithmetic rows.  The
+    # role filter stays AFTER the winner window: role is not part of
+    # the duplicate spec, so the winner must be chosen among all turns.
+    gated_rows = rows.where(
+        (F.col("_n_turns") >= min_turns) & F.col("_mean_len").between(*len_band)
+    )
+    wf = Window.partitionBy("_fp")
+    pairs = (
+        gated_rows.withColumn("_winner", F.min("conv_id").over(wf))
+        .where((F.col("conv_id") == F.col("_winner")) & (F.col("role") == "assistant"))
+    )
     toks = pairs.select(
         "conv_id",
         "turn_idx",
