@@ -356,3 +356,54 @@ def test_header_metadata_past_64k(tmp_path):
     A.write_rows_local(p, sch, [(7,), (8,)])
     rows = list(A.iter_ocf_rows(p))
     assert rows == [(7,), (8,)]
+
+
+def test_property_roundtrip_random_rows():
+    """Hypothesis: write_ocf → iter_ocf_rows is the identity for random
+    rows over the supported primitive/array/null surface."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    row = st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.none() | st.text(max_size=40),
+        st.floats(allow_nan=False),
+        st.booleans(),
+        st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=8),
+        st.binary(max_size=32),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(row, max_size=25), st.sampled_from(["null", "deflate"]))
+    def check(rows, codec):
+        import io
+
+        buf = io.BytesIO()
+        A.write_ocf(buf, sch, iter(rows), codec, block_rows=7)
+        buf.seek(0)
+        sch_back, codec_back, sync, pos = A.read_ocf_header(buf)
+        assert codec_back == codec
+        import tempfile, os as _os
+
+        with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+            f.write(buf.getvalue())
+            p = f.name
+        try:
+            got = list(A.iter_ocf_rows(p))
+        finally:
+            _os.unlink(p)
+        assert got == [tuple(r) for r in rows]
+
+    check()

@@ -398,3 +398,23 @@ def test_fingerprint_is_multiset_faithful(spark):
     fp = {r["conv_id"]: r["fingerprint"] for r in conversation_fingerprints(t).collect()}
     assert fp["dupRow"] != fp["single"]  # xor would have collided these
     assert fp["copy1"] == fp["copy2"]  # true duplicates still collapse
+
+
+def test_dup_winner_chosen_among_all_roles(spark):
+    """Spec pin: role is NOT part of the duplicate fingerprint, and the
+    duplicate winner is min(conv_id) over ALL turns of the class. Here
+    the min conv ('a') has no assistant turns, so the whole class emits
+    nothing — a role-filtered winner selection would wrongly promote
+    'b' and emit its pairs."""
+    from lnex_spark.operators.curation import curate_transcripts
+
+    rows = [
+        ("a", 0, "user", "hello world"), ("a", 1, "user", "more text"),
+        ("b", 0, "assistant", "hello world"), ("b", 1, "assistant", "more text"),
+        # control class: unique conversation with an assistant turn
+        ("c", 0, "user", "fine day"), ("c", 1, "assistant", "indeed sir"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = curate_transcripts(t, shards=4, min_turns=2, len_band=(0.0, 1e9)).collect()
+    # only conv 'c' contributes pairs: one assistant turn -> one sequence
+    assert len(got) == 1 and got[0]["n_pairs"] == 1
