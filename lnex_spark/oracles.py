@@ -49,7 +49,8 @@ _PRIORITY: list[str] = [
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_components",
     "ann_cosine_topk", "ann_cosine_lsh_multiprobe", "ann_ivfpq",
-    "embedding_near_dups", "quantize_embeddings",
+    "embedding_near_dups", "semantic_dedup_embeddings",
+    "quantize_embeddings",
     "text_token_count", "text_quality",
     "media_image_stats", "multimodal_frame_plan",
     # §2B relational representatives
