@@ -53,9 +53,9 @@ _PRIORITY: list[str] = [
     "quantize_embeddings",
     "text_token_count", "text_quality",
     "media_image_stats", "multimodal_frame_plan",
-    # §2B relational representatives
+    # §2B relational representatives (window_running_value yielded its
+    # slot to semantic_dedup_embeddings — the window cap is 50)
     "agg_pricing_summary", "join_revenue_by_nation",
-    "window_running_value",
 ]
 
 
