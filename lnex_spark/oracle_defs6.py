@@ -38,11 +38,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       FROM orders WHERE o_orderkey < 2000
     ),
     updates AS (
-      SELECT o_orderkey AS k, round(o_totalprice * 1.1, 2) AS price, '0-UPSERTED' AS prio
+      -- floor(x*100+0.5)/100, NOT round(x,2): round() on derived double
+      -- arithmetic is engine-divergent exactly at half-cent boundaries
+      -- (r02 driver: k=1777 Spark 315754.29 vs DuckDB 315754.28 — Spark
+      -- rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+      -- scaled binary).  The floor form is pure IEEE double ops, so both
+      -- engines compute bit-identical cents.
+      SELECT o_orderkey AS k,
+             floor(o_totalprice * 1.1::DOUBLE * 100.0 + 0.5) / 100.0 AS price,
+             '0-UPSERTED' AS prio
       FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
     )
     SELECT coalesce(u.k, b.k) AS k,
-           round(coalesce(u.price, b.price), 2) AS price,
+           floor(coalesce(u.price, b.price) * 100.0 + 0.5) / 100.0 AS price,
            coalesce(u.prio, b.prio) AS prio,
            CASE WHEN u.k IS NOT NULL AND b.k IS NOT NULL THEN 'updated'
                 WHEN u.k IS NOT NULL THEN 'inserted'
@@ -59,13 +67,20 @@ def merge_upsert_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)).select(
         F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        # same floor(x*100+0.5)/100 form as the oracle SQL — see the SQL
+        # comment; F.round would HALF_UP on the shortest-repr decimal and
+        # diverge from DuckDB at half-cent boundaries
+        (F.floor(F.col("o_totalprice") * F.lit(1.1) * F.lit(100.0) + F.lit(0.5)) / 100.0).alias(
+            "price"
+        ),
         F.lit("0-UPSERTED").alias("prio"),
     )
     b, u = base.alias("b"), updates.alias("u")
     return b.join(u, F.col("b.k") == F.col("u.k"), "full_outer").select(
         F.coalesce("u.k", "b.k").alias("k"),
-        F.round(F.coalesce("u.price", "b.price"), 2).alias("price"),
+        (F.floor(F.coalesce("u.price", "b.price") * F.lit(100.0) + F.lit(0.5)) / 100.0).alias(
+            "price"
+        ),
         F.coalesce("u.prio", "b.prio").alias("prio"),
         F.when(F.col("u.k").isNotNull() & F.col("b.k").isNotNull(), "updated")
         .when(F.col("u.k").isNotNull(), "inserted")

@@ -149,6 +149,25 @@ class SynthTranscriptStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+class SynthTranscriptReaderNoPushdown(SynthTranscriptReader):
+    """Pushdown-free twin for sessions where
+    ``spark.sql.python.filterPushdown.enabled`` is (and must stay) false.
+
+    Spark 4 *hard-fails* planning any Python data source whose reader
+    defines ``pushFilters()`` while that conf is off
+    ([DATA_SOURCE_PUSHDOWN_DISABLED]) — it does not silently skip
+    pushdown.  Pruning was only ever a generation-cost optimization
+    (pushed filters are re-checked by Spark either way), so this class
+    simply deletes the method: every row is generated and Spark filters
+    post-scan.  Same rows, same schema, same partition planning.
+    """
+
+    # the worker probes `reader.pushFilters.__func__ is not
+    # DataSourceReader.pushFilters` (plan_data_source_read.py:376), so
+    # the shadow must restore the base-class function exactly
+    pushFilters = DataSourceReader.pushFilters
+
+
 class SynthTranscriptDataSource(DataSource):
     """``spark.read.format("transcripts_synth")`` — see module docstring.
 
@@ -170,6 +189,31 @@ class SynthTranscriptDataSource(DataSource):
         return SynthTranscriptStreamReader(self.options)
 
 
+class SynthTranscriptDataSourceNoPushdown(SynthTranscriptDataSource):
+    def reader(self, schema: StructType) -> SynthTranscriptReader:
+        return SynthTranscriptReaderNoPushdown(self.options)
+
+
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
 def register(spark) -> None:
-    """Idempotent registration of the transcripts_synth format."""
-    spark.dataSource.register(SynthTranscriptDataSource)
+    """Idempotent registration of the transcripts_synth format.
+
+    Round-2 driver lesson: this must work on a DEFAULT-conf session.
+    The driver (and any user) builds ``SparkSession.builder.getOrCreate()``
+    without lnex_spark/session.py's ``_BASE_CONF``, where
+    ``spark.sql.python.filterPushdown.enabled`` defaults to false and
+    Spark 4 refuses to plan a reader that defines ``pushFilters()``
+    (three CORRECTNESS_r02 crashes).  It is a runtime SQL conf, so flip
+    it here; if a locked-down session rejects the set, fall back to the
+    pushdown-free reader class — correctness never depends on pruning.
+    """
+    cls = SynthTranscriptDataSource
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+        if str(spark.conf.get(_PUSHDOWN_CONF)).lower() != "true":
+            cls = SynthTranscriptDataSourceNoPushdown
+    except Exception:
+        cls = SynthTranscriptDataSourceNoPushdown
+    spark.dataSource.register(cls)
