@@ -50,8 +50,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     """
+    -- money sums go through DECIMAL(18,4): the per-row volume has exactly
+    -- 4 true decimals so the double->decimal cast lands ON grid (never at
+    -- a tie), the decimal sum is exact and order-independent (a raw
+    -- double sum differs between engines by addition order — caught at
+    -- full-precision canonicalization), and round() in decimal space is
+    -- exact HALF_UP in both engines before the final cast to double.
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           cast(round(sum(cast(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -83,9 +89,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, c.c_nationkey == F.col("c_nk"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
     )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    ).agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
 
 
 # --- TPC-H Q14: promo revenue share per ship year --------------------------

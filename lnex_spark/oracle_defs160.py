@@ -165,9 +165,13 @@ _RATIO_SQL = """
            f.y_true AS true_total,
            ROUND(((SELECT r FROM r) * f.x_total - f.y_true) / f.y_true, 6)
              AS rel_err,
+           -- var_est is ~4e15: the residual-sum se2 is an order-dependent
+           -- double sum whose engines differ by a few ulps (absolute ~5
+           -- here), so cent-rounding can't stabilize it — round to the
+           -- nearest 1e6 (9 significant digits, noise 5e5x below the step)
            ROUND(CAST(f.nn AS DOUBLE) * f.nn
                  * (1 - CAST(s.n AS DOUBLE) / f.nn) / s.n
-                 * (SELECT se2 FROM resid), 2) AS var_est
+                 * (SELECT se2 FROM resid), -6) AS var_est
     FROM samp s CROSS JOIN frame f
 """
 
@@ -222,13 +226,14 @@ def ratio_estimator_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("y_true"),
                 6,
             ).alias("rel_err"),
+            # round to 1e6, matching the oracle — see the SQL comment
             F.round(
                 F.col("nn").cast("double")
                 * F.col("nn")
                 * (1 - F.col("n").cast("double") / F.col("nn"))
                 / F.col("n")
                 * F.col("se2"),
-                2,
+                -6,
             ).alias("var_est"),
         )
     )

@@ -254,8 +254,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     """
+    -- DECIMAL(18,4) sum + decimal-space round: exact and engine-identical
+    -- (see q7_volume_shipping's comment — raw double sums are
+    -- order-dependent and diverge at cent boundaries)
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            round(c.c_acctbal, 2) AS acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -282,7 +286,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(_vol()), 2).alias("revenue")
+        F.round(F.sum(_vol().cast("decimal(18,4)")), 2).cast("double").alias("revenue")
     ).select(
         "c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("acctbal"), "n_name"
     )

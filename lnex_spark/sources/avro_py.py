@@ -125,6 +125,12 @@ def _dec_long(buf: memoryview, pos: int) -> tuple[int, int]:
 
 def _dec_bytes(buf: memoryview, pos: int) -> tuple[bytes, int]:
     n, pos = _dec_long(buf, pos)
+    if n < 0:
+        # a corrupt/adversarial negative length would move pos BACKWARD:
+        # the caller's parse loop would "succeed" without advancing — an
+        # infinite loop instead of an error (and read_ocf_header's
+        # underrun retry only catches IndexError, so ValueError surfaces)
+        raise ValueError(f"negative Avro byte-length {n} at offset {pos} — corrupt data")
     return bytes(buf[pos : pos + n]), pos + n
 
 
@@ -611,30 +617,50 @@ class _AvroSplit(InputPartition):
 
 
 def _read_manifest(path: str) -> dict | None:
-    mpath = os.path.join(path, "_MANIFEST")
-    if os.path.isfile(mpath):
-        with open(mpath) as f:
-            return json.load(f)
-    # streamed output: union the per-epoch _MANIFEST-<N> manifests. A
-    # replayed epoch overwrote its own manifest, and a crashed attempt's
-    # orphan part files are in no manifest — both excluded here, so batch
-    # reads of streamed directories stay exactly-once.
-    epoch_names = sorted(
-        n for n in (os.listdir(path) if os.path.isdir(path) else [])
-        if n.startswith("_MANIFEST-") and not n.endswith(".tmp")
-    )
-    if not epoch_names:
+    """Union of the batch ``_MANIFEST`` (if any) and every per-epoch
+    ``_MANIFEST-<N>`` — NOT a short-circuit on the batch one: a batch
+    append into a directory a stream writer keeps committing to must not
+    freeze the visible file set at append time (epochs committed later
+    stay visible).  A replayed epoch overwrote its own manifest, and a
+    crashed attempt's orphan part files are in no manifest — both
+    excluded, so batch reads of streamed directories stay exactly-once.
+
+    ``rows`` is derived from the DEDUPLICATED file set via the per-file
+    ``file_rows`` map when present (an epoch replay double-listing a
+    file must not double-count), falling back to summed per-manifest
+    totals for manifests written before file_rows existed.
+    """
+    if not os.path.isdir(path):
         return None
-    files: list[str] = []
+    names = sorted(
+        n
+        for n in os.listdir(path)
+        if (n == "_MANIFEST" or n.startswith("_MANIFEST-")) and not n.endswith(".tmp")
+    )
+    if not names:
+        return None
+    files: set[str] = set()
     blocks: dict[str, list[int]] = {}
-    rows = 0
-    for n in epoch_names:
+    file_rows: dict[str, int] = {}
+    legacy_rows = 0
+    for n in names:
         with open(os.path.join(path, n)) as f:
             m = json.load(f)
-        files.extend(m["files"])
+        new = [fn for fn in m["files"] if fn not in files]
+        files.update(new)
         blocks.update(m.get("file_blocks", {}))
-        rows += m.get("rows", 0)
-    return {"files": sorted(set(files)), "rows": rows, "file_blocks": blocks}
+        fr = m.get("file_rows")
+        if fr is not None:
+            file_rows.update(fr)
+        else:
+            legacy_rows += m.get("rows", 0)
+    rows = legacy_rows + sum(file_rows.get(fn, 0) for fn in files)
+    return {
+        "files": sorted(files),
+        "rows": rows,
+        "file_blocks": blocks,
+        "file_rows": file_rows,
+    }
 
 
 def _committed_files(path: str) -> list[str]:
@@ -726,8 +752,23 @@ class AvroOcfWriter(DataSourceWriter):
         return _FileMsg(fname, n, blocks)
 
     def commit(self, messages) -> None:
+        """Files-then-manifest atomic commit.
+
+        CONCURRENCY CONTRACT: one writer per directory at a time (the
+        norm for file-system tables without a catalog — same as raw
+        parquet dirs).  Append's read-modify-write of _MANIFEST and
+        overwrite's post-commit cleanup both assume it; two concurrent
+        jobs can lose one job's commit or delete its not-yet-committed
+        part files.  The job_token only protects against part-file NAME
+        collisions across runs, not against concurrent commits.  As a
+        cheap tripwire, every referenced file is re-verified to exist
+        just before the manifest rename — a concurrent overwrite's
+        cleanup having deleted our uncommitted parts fails the job
+        loudly here instead of committing a manifest that points at
+        missing files.
+        """
         files = sorted(m.filename for m in messages)
-        rows = sum(m.n_rows for m in messages)
+        file_rows = {m.filename: m.n_rows for m in messages}
         # per-file block byte offsets: the reader's split index
         blocks = {m.filename: m.blocks for m in messages}
         if not self.overwrite:
@@ -741,11 +782,30 @@ class AvroOcfWriter(DataSourceWriter):
                     for n in os.listdir(self.path)
                     if n.endswith(".avro") and n not in set(files)
                 ]
-                old = {"files": prior, "rows": 0, "file_blocks": {}}
+                old = {"files": prior, "rows": 0, "file_blocks": {}, "file_rows": {}}
             files = sorted(set(files) | set(old["files"]))
-            rows += old.get("rows", 0)
             blocks = {**old.get("file_blocks", {}), **blocks}
-        manifest = {"files": files, "rows": rows, "file_blocks": blocks}
+            old_fr = old.get("file_rows") or {}
+            legacy = old.get("rows", 0) - sum(
+                old_fr.get(fn, 0) for fn in old.get("files", [])
+            )
+            file_rows = {**old_fr, **file_rows}
+            rows = max(legacy, 0) + sum(file_rows.get(fn, 0) for fn in files)
+        else:
+            rows = sum(file_rows.values())
+        missing = [fn for fn in files if not os.path.isfile(os.path.join(self.path, fn))]
+        if missing:
+            raise RuntimeError(
+                f"avro_py commit aborted: {len(missing)} referenced file(s) missing "
+                f"(e.g. {missing[0]!r}) — concurrent writer in {self.path!r}? "
+                "This sink is single-writer-per-directory."
+            )
+        manifest = {
+            "files": files,
+            "rows": rows,
+            "file_blocks": blocks,
+            "file_rows": file_rows,
+        }
         tmp = os.path.join(self.path, "._MANIFEST.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -794,6 +854,7 @@ class AvroOcfStreamWriter(DataSourceStreamWriter):
             "files": sorted(m.filename for m in messages),
             "rows": sum(m.n_rows for m in messages),
             "file_blocks": {m.filename: m.blocks for m in messages},
+            "file_rows": {m.filename: m.n_rows for m in messages},
         }
         path = self._w.path
         tmp = os.path.join(path, f"._MANIFEST-{batchId}.tmp")

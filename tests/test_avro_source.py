@@ -407,3 +407,54 @@ def test_property_roundtrip_random_rows():
         assert got == [tuple(r) for r in rows]
 
     check()
+
+
+def test_batch_append_then_stream_epochs_stay_visible(spark, tmp_path):
+    """A batch append into a streamed directory must not freeze the
+    visible file set: epoch manifests committed AFTER the append (here:
+    simulated by writing a _MANIFEST-<N> next to an existing _MANIFEST)
+    are unioned into batch reads, not shadowed by the batch manifest."""
+    A.register(spark)
+    out = str(tmp_path / "mix")
+    spark.createDataFrame([(i,) for i in range(10)], "x long").coalesce(1).write.format(
+        "avro_py"
+    ).mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_MANIFEST"))
+    # a later stream epoch: one more committed file + its epoch manifest
+    fname = "part-streamed-epoch7.avro"
+    A.write_rows_local(
+        os.path.join(out, fname), {"type": "record", "name": "r", "fields": [
+            {"name": "x", "type": "long"}]}, [(i,) for i in range(10, 15)]
+    )
+    with open(os.path.join(out, "_MANIFEST-7"), "w") as f:
+        json.dump({"files": [fname], "rows": 5, "file_rows": {fname: 5}}, f)
+    got = sorted(r["x"] for r in spark.read.format("avro_py").load(out).collect())
+    assert got == list(range(15))
+    # and rows in the unioned view don't double-count a twice-listed file
+    m = A._read_manifest(out)
+    assert m["rows"] == 15
+
+
+def test_manifest_rows_dedup_on_replayed_epoch(tmp_path):
+    """An epoch replay re-listing a file elsewhere committed must not
+    double-count rows: rows derive from the deduplicated file set."""
+    out = tmp_path / "dup"
+    out.mkdir()
+    sch = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    A.write_rows_local(str(out / "a.avro"), sch, [(1,), (2,)])
+    for epoch, files in [(1, ["a.avro"]), (2, ["a.avro"])]:
+        with open(out / f"_MANIFEST-{epoch}", "w") as f:
+            json.dump({"files": files, "rows": 2, "file_rows": {"a.avro": 2}}, f)
+    m = A._read_manifest(str(out))
+    assert m["files"] == ["a.avro"] and m["rows"] == 2
+
+
+def test_negative_byte_length_raises_not_loops():
+    """A corrupt negative length in header metadata must raise, not
+    parse 'successfully' with a backwards-moving cursor."""
+    import io
+
+    # magic + map count 1 + key with negative zigzag length (-5 -> 9)
+    bad = b"Obj\x01" + b"\x02" + b"\x09"
+    with pytest.raises(ValueError, match="negative|corrupt|truncated"):
+        A.read_ocf_header(io.BytesIO(bad))
