@@ -17,6 +17,7 @@ Queries:
   ctx_assembly     previous-3-turn training-pair window over transcripts
   asof_join        backward as-of join (union+window form) over events
   ann_ivf/ann_pq   IVF cell-probe / PQ ADC compressed-scan top-k
+  semantic_dedup   kmeans quantize + SemDeDup cluster-then-prune over embeddings
   media_decode     encode+decode Arrow stage over real BMP/PPM/WAV payloads
   curation_e2e     dedup -> gate -> scrub -> context -> packing over transcripts
 """
@@ -201,6 +202,24 @@ def main() -> None:
     # PQ ADC compressed scan (r2): one Arrow pass over the corpus,
     # distance tables broadcast in the closure, per-batch top-k
     run("ann_pq", lambda: pq_adc_topk(emb, q, m_subspaces=8, n_codes=16, k=10).count())
+
+    # SemDeDup over kmeans centroids (r3): the REAL semantic-dedup path —
+    # Lloyd quantizer (not the first-n-by-id test centroids) feeding the
+    # cluster-then-prune dedup; timed region covers quantize + assign +
+    # intra-cell prune, i.e. the whole pipeline a curation job runs
+    from lnex_spark.operators.clustering import kmeans_lloyd
+    from lnex_spark.operators.similarity import semantic_dedup
+
+    def _semantic_dedup_kmeans() -> int:
+        cents, _ = kmeans_lloyd(emb, k=16, iters=2)
+        cent = cents.select("cell_id", F.col("cemb").alias("embedding"))
+        return (
+            semantic_dedup(emb, tau=0.95, centroids=cent)
+            .filter(F.col("keep"))
+            .count()
+        )
+
+    run("semantic_dedup", _semantic_dedup_kmeans)
 
     # real media decode (r2): synthesize encoded BMP/PPM/WAV/VID0 payloads
     # and run the full decode+stats Arrow stage; timing covers encode+decode
