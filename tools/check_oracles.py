@@ -28,7 +28,9 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # full precision (round 3): %.6g truncated cents on 6+-digit
+        # money and hid a real driver hash-fail — see driver_canon_check
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
