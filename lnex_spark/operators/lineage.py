@@ -34,8 +34,18 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
     # no driver-local os.path check: the manifest lives on the cluster
-    # filesystem (HDFS/S3/...) where a local exists() is always False —
-    # the read itself is the existence probe on every filesystem
+    # filesystem (HDFS/S3/...) where a local exists() is always False.
+    # Probe through the Hadoop FileSystem API instead — correct on every
+    # scheme and quieter than letting spark.read log a full
+    # FileNotFoundException stack on the (expected) fresh-start path.
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+    except Exception:
+        pass  # non-JVM shells (Connect): fall through to the read probe
     try:
         rows = spark.read.parquet(manifest_path).select("bucket").distinct().collect()
     except Exception:

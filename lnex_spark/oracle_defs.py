@@ -499,7 +499,8 @@ def flagship_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_rows,
            count(DISTINCT l_orderkey) AS n_orders
     FROM lineitem
@@ -514,7 +515,11 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # DECIMAL(18,4) money-sum idiom (engine-identical at every
+            # scale) — see q7_volume_shipping / verify-skill gotchas
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
@@ -524,7 +529,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_revenue_by_nation",
     """
-    SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name AS nation,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN orders ON o_custkey = c_custkey
@@ -542,7 +549,11 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 

@@ -100,14 +100,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     """
     SELECT year(l.l_shipdate) AS l_year,
-           round(sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END), 2) AS promo_rev,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
-           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+           cast(round(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                          ELSE 0 END), 2) AS DOUBLE) AS promo_rev,
+           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_rev,
+           round(100.0 * cast(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                              ELSE 0 END) AS DOUBLE)
+                 / cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY year(l.l_shipdate)
     """,
@@ -115,15 +117,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    # DECIMAL(18,4) money sums (engine-identical; see q7) — the ratio is
+    # then a double division of two exact decimals, identical both sides
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(promo), 2).alias("promo_rev"),
-            F.round(F.sum(vol), 2).alias("total_rev"),
-            F.round(F.lit(100.0) * F.sum(promo) / F.sum(vol), 4).alias("promo_pct"),
+            F.round(F.sum(promo), 2).cast("double").alias("promo_rev"),
+            F.round(F.sum(vol), 2).cast("double").alias("total_rev"),
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("promo_pct"),
         )
     )
 
@@ -165,7 +171,9 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_rev",
     """
-    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT p.p_brand,
+           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -186,7 +194,9 @@ def q19_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return j.where(band).groupBy("p_brand").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue")
     )
 
 

@@ -127,7 +127,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT cast(round(sum(cast(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            cast(count(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -151,7 +152,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
@@ -162,11 +165,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      AS DOUBLE)
+                 / cast(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
              n2.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -203,13 +207,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            _vol().alias("volume"),
+            # DECIMAL(18,4) per-row volume → exact sums → the share is a
+            # double division of two exact decimals, identical both sides
+            _vol().cast("decimal(18,4)").alias("volume"),
             "supp_nation",
         )
     )
-    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     return joined.groupBy("o_year").agg(
-        F.round(F.sum(nat) / F.sum("volume"), 6).alias("mkt_share")
+        F.round(F.sum(nat).cast("double") / F.sum("volume").cast("double"), 6).alias("mkt_share")
     )
 
 
@@ -217,7 +225,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    -- DECIMAL(18,4) sum + decimal-space round (see q7/q10): amount has
+    -- exactly 4 true decimals (vol 4, 0.6*retailprice*qty 3), so the
+    -- per-row cast lands on grid; the raw double sum diverged by a cent
+    -- at sf0.001 (found by the full-precision sweep)
+    SELECT nation, o_year,
+           cast(round(sum(cast(amount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount)
@@ -247,7 +260,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
     )
-    return joined.groupBy("nation", "o_year").agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    return joined.groupBy("nation", "o_year").agg(
+        F.round(F.sum(F.col("amount").cast("decimal(18,4)")), 2).cast("double").alias("sum_profit")
+    )
 
 
 # --- Q10: returned-item revenue per customer -------------------------------

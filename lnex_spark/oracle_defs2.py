@@ -726,7 +726,9 @@ def array_funcs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join6_local_supplier_revenue",
     """
-    SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name AS nation,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -757,7 +759,11 @@ def join6_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
