@@ -89,7 +89,12 @@ def _vol():
       WHERE p.p_type = 'LARGE' AND p.p_size <= 25
     )
     SELECT p_partkey, p_name, s_name, n_name,
-           round(s_acctbal, 2) AS acctbal, round(ucost, 6) AS ucost
+           round(s_acctbal, 2) AS acctbal,
+           -- floor form, not round(,6): price/qty with a power-of-two
+           -- quantity lands EXACTLY on a 7th-decimal 5 (found at sf0.1:
+           -- 266.9078125 -> Spark .907813, DuckDB .907812); identical
+           -- IEEE ops on both engines resolve the tie identically
+           floor(ucost * 1e6 + 0.5) / 1e6 AS ucost
     FROM costs WHERE ucost = best
     """,
 )
@@ -119,7 +124,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "n_name",
         F.round("s_acctbal", 2).alias("acctbal"),
-        F.round("ucost", 6).alias("ucost"),
+        # floor form — see the SQL comment
+        (F.floor(F.col("ucost") * F.lit(1e6) + F.lit(0.5)) / 1e6).alias("ucost"),
     )
 
 

@@ -70,8 +70,13 @@ _GP_SQL = """
       FROM rates r CROSS JOIN prior p
     )
     SELECT CAST((SELECT k FROM prior) AS BIGINT) AS n_users,
-           ROUND((SELECT alpha FROM prior), 6) AS prior_alpha,
-           ROUND((SELECT beta FROM prior), 6) AS prior_beta,
+           -- log10 scale, not round(x, 6): alpha/beta = mu^2/tau2 where
+           -- tau2 is a near-cancelling difference — the quotient spans
+           -- ~0.2 (sf0.01) to ~5e9 (sf0.1), so no fixed decimal scale is
+           -- both meaningful and ulp-stable; log10 turns 1e-15-relative
+           -- engine noise into 1e-15 ABSOLUTE, safe at 6 decimals forever
+           ROUND(LOG10((SELECT alpha FROM prior)), 6) AS prior_alpha_log10,
+           ROUND(LOG10((SELECT beta FROM prior)), 6) AS prior_beta_log10,
            ROUND((SELECT mu FROM prior), 6) AS mean_rate,
            ROUND(MAX(r), 6) AS max_raw_rate,
            ROUND(MAX(pm), 6) AS max_posterior_rate,
@@ -130,8 +135,9 @@ def gamma_poisson_eb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return post.agg(
         F.max("k").cast("long").alias("n_users"),
-        F.round(F.max("alpha"), 6).alias("prior_alpha"),
-        F.round(F.max("beta"), 6).alias("prior_beta"),
+        # log10 form — see the SQL comment
+        F.round(F.log10(F.max("alpha")), 6).alias("prior_alpha_log10"),
+        F.round(F.log10(F.max("beta")), 6).alias("prior_beta_log10"),
         F.round(F.max("mu"), 6).alias("mean_rate"),
         F.round(F.max("r"), 6).alias("max_raw_rate"),
         F.round(F.max("pm"), 6).alias("max_posterior_rate"),
