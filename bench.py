@@ -206,25 +206,25 @@ def main() -> None:
     # SemDeDup over kmeans centroids (r3): the REAL semantic-dedup path —
     # Lloyd quantizer (not the first-n-by-id test centroids) feeding the
     # cluster-then-prune dedup; timed region covers quantize + assign +
-    # intra-cell prune, i.e. the whole pipeline a curation job runs
+    # intra-cell prune, i.e. the whole pipeline a curation job runs.
+    # Throughput path is semantic_dedup_arrow (BLAS matmuls per Arrow
+    # batch/cell; measured 3.6-5.9x over the relational form, which
+    # pays per-element lambda interpretation in aggregate(zip_with) —
+    # the relational twin stays the driver-checked oracle and a pytest
+    # asserts identical keep/drop).
     from lnex_spark.operators.clustering import kmeans_lloyd
-    from lnex_spark.operators.similarity import semantic_dedup
+    from lnex_spark.operators.similarity import semantic_dedup_arrow
 
     def _semantic_dedup_kmeans() -> int:
         cents, _ = kmeans_lloyd(emb, k=16, iters=2)
         # centroids are k tiny rows whose LINEAGE is the whole iterative
-        # quantizer: left lazy, every centroid use in the prune stage
-        # re-derives kmeans (measured plan: 9 corpus scans in one job).
-        # Collect them to literals (bounded: k x dim doubles) so the
-        # quantizer runs exactly once — the train-small/apply-big shape a
-        # 100 TB job uses, where centroids come from a sampled training
-        # pass anyway. At this sf the wall-clock is noise-identical
-        # (~5.3s either way, min-of-3 A/B — the intra-cell pair prune
-        # dominates, not the scans); the win is the scan count at scale.
+        # quantizer: collect to literals (bounded: k x dim doubles) so
+        # the quantizer runs exactly once — the train-small/apply-big
+        # shape a 100 TB job uses
         rows = [(int(r["cell_id"]), [float(x) for x in r["cemb"]]) for r in cents.collect()]
         cent = spark.createDataFrame(rows, "cell_id int, embedding array<double>")
         return (
-            semantic_dedup(emb, tau=0.95, centroids=cent)
+            semantic_dedup_arrow(emb, tau=0.95, centroids=cent)
             .filter(F.col("keep"))
             .count()
         )

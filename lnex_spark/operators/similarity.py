@@ -634,3 +634,92 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def semantic_dedup_arrow(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.98,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`semantic_dedup` — identical spec
+    (keeper order = (round(csim,6) asc, id asc); drop b iff ANY
+    more-preferred a in b's cell has round(cos(a,b),6) >= tau), but the
+    two hot kernels run as numpy matmuls instead of per-element
+    Catalyst lambda interpretation (``aggregate(zip_with(...))`` is
+    interpreted per array element — measured ~6s for a mere 2k x 64
+    corpus at local[32], entirely lambda-eval bound).
+
+    Shape for 100 TB:
+      * assignment — centroids are quantizer-sized by construction, so
+        they ride the UDF closure as one k x d matrix; ONE mapInPandas
+        pass computes ``Xn @ Cn.T`` per Arrow batch. Zero shuffle.
+      * prune — ONE shuffle on cell_id, then applyInPandas per cell:
+        ``S = Xn @ Xn.T`` + keeper-order upper-triangle any(). The same
+        O(|cell|^2) the relational EXISTS pays, at BLAS speed; |cell| is
+        bounded by the quantizer granularity either way.
+
+    The relational form stays the ORACLE (full SQL re-derivation,
+    driver value-hash); this is the throughput path. Both round
+    cosines to 6 decimals before ordering/thresholding, so they agree
+    except when a true cosine sits within ~1 ulp of a 6th-decimal
+    boundary (tests assert exact keep/drop equality on the driver
+    tables).
+    """
+    import pandas as pd  # local: match module style
+
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).cast("int").alias("cell_id"), "embedding")
+        )
+    crows = sorted(
+        ((int(r["cell_id"]), np.asarray(r["embedding"], dtype=np.float64)) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cell_ids = np.array([c for c, _ in crows], dtype=np.int32)
+    C = np.stack([v for _, v in crows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    mid_schema = f"{id_col} {id_type}, cell_id int, csim double, emb array<double>"
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            sims = np.round(Xn @ Cn.T, 6)
+            # argmax returns the FIRST max → smallest cell_id on ties,
+            # matching the relational min-struct tie-break (C is sorted)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell_id": cell_ids[best],
+                    "csim": sims[np.arange(len(best)), best],
+                    "emb": list(X),
+                }
+            )
+
+    assigned = embeddings.select(id_col, "embedding").mapInPandas(assign, mid_schema)
+
+    out_schema = f"{id_col} {id_type}, cell_id int, csim double, keep boolean"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(["csim", id_col], kind="mergesort").reset_index(drop=True)
+        X = np.stack(order["emb"].to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        S = np.round(Xn @ Xn.T, 6)
+        dominated = np.triu(S >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: order[id_col],
+                "cell_id": order["cell_id"],
+                "csim": order["csim"],
+                "keep": ~dominated,
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(prune, out_schema)

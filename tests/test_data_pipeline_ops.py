@@ -275,3 +275,26 @@ def test_semantic_dedup_keeps_one_per_dup_group(emb):
     # no random 16-dim gaussian pair reaches cos >= 0.99: everything else kept
     others = [r for i, r in got.items() if i not in (0, 20, 21)]
     assert all(r["keep"] for r in others)
+
+
+def test_semantic_dedup_arrow_matches_relational(emb, spark):
+    """The BLAS twin implements the exact relational spec: identical
+    (cell_id, csim, keep) per vector — default centroids AND an
+    arbitrary centroid table, at more than one partitioning."""
+    def canon(df):
+        return sorted(
+            (r["vec_id"], r["cell_id"], round(r["csim"], 6), r["keep"])
+            for r in df.collect()
+        )
+
+    for e in (emb, emb.repartition(5)):
+        assert canon(similarity.semantic_dedup_arrow(e, n_cells=4, tau=0.99)) == canon(
+            similarity.semantic_dedup(e, n_cells=4, tau=0.99)
+        )
+    cent = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 15), (7, [0.0, 1.0] + [0.0] * 14)],
+        "cell_id int, embedding array<double>",
+    )
+    assert canon(similarity.semantic_dedup_arrow(emb, tau=0.95, centroids=cent)) == canon(
+        similarity.semantic_dedup(emb, tau=0.95, centroids=cent)
+    )
