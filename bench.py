@@ -212,11 +212,11 @@ def main() -> None:
     # pays per-element lambda interpretation in aggregate(zip_with) —
     # the relational twin stays the driver-checked oracle and a pytest
     # asserts identical keep/drop).
-    from lnex_spark.operators.clustering import kmeans_lloyd
+    from lnex_spark.operators.clustering import kmeans_lloyd_arrow
     from lnex_spark.operators.similarity import semantic_dedup_arrow
 
     def _semantic_dedup_kmeans() -> int:
-        cents, _ = kmeans_lloyd(emb, k=16, iters=2)
+        cents, _ = kmeans_lloyd_arrow(emb, k=16, iters=2)
         # centroids are k tiny rows whose LINEAGE is the whole iterative
         # quantizer: collect to literals (bounded: k x dim doubles) so
         # the quantizer runs exactly once — the train-small/apply-big

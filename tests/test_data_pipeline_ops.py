@@ -298,3 +298,23 @@ def test_semantic_dedup_arrow_matches_relational(emb, spark):
     assert canon(similarity.semantic_dedup_arrow(emb, tau=0.95, centroids=cent)) == canon(
         similarity.semantic_dedup(emb, tau=0.95, centroids=cent)
     )
+
+
+def test_kmeans_arrow_matches_relational(emb):
+    """kmeans_lloyd_arrow reproduces the relational twin exactly under
+    the shared determinism contract: same rounded centroids AND the
+    same final assignment (made with the centroids entering the last
+    iteration), at more than one partitioning."""
+    from lnex_spark.operators import clustering
+
+    def canon(pair):
+        cents, assign = pair
+        return (
+            sorted((r["cell_id"], tuple(round(x, 6) for x in r["cemb"])) for r in cents.collect()),
+            sorted((r["vec_id"], r["cell_id"]) for r in assign.collect()),
+        )
+
+    for e in (emb, emb.repartition(5)):
+        assert canon(clustering.kmeans_lloyd_arrow(e, k=4, iters=3)) == canon(
+            clustering.kmeans_lloyd(e, k=4, iters=3)
+        )
