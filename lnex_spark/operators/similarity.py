@@ -723,3 +723,56 @@ def semantic_dedup_arrow(
         )
 
     return assigned.groupBy("cell_id").applyInPandas(prune, out_schema)
+
+
+def cosine_topk_bruteforce_arrow(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """BLAS/Arrow twin of :func:`cosine_topk_bruteforce` — identical
+    results (round(cosine,6), rank ties by vec_id, self-matches
+    excluded), but the N x Q score matrix is one ``Xn @ Qn.T`` matmul
+    per Arrow batch instead of N*Q interpreted ``aggregate(zip_with)``
+    lambdas.
+
+    Scale shape (same as pq_adc_topk): queries ride the UDF closure
+    (Q x d — top-k queries are small by the op's contract even at
+    100 TB), ONE zero-shuffle pass over the corpus emits only each
+    batch's top-k per query (a per-batch top-k is a superset of the
+    global one — no candidate loss), and the final exact window ranks
+    batches x Q x k rows, never the corpus."""
+    import pandas as pd
+
+    q_rows = sorted(queries.select("query_id", "embedding").collect(), key=lambda r: r["query_id"])
+    q_ids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def score(batches):
+        for pdf in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            S = np.round(Xn @ Qn.T, 6)  # (b, Q)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = vids != qid  # self-match exclusion, as relational
+                vv, cc = vids[mask], col[mask]
+                if not len(vv):
+                    continue
+                # per-batch top-k on (-cosine, vec_id) — matches the
+                # final window's ordering, so the batch cut is lossless
+                order = np.lexsort((vv, -cc))[:k]
+                out_q.extend([qid] * len(order))
+                out_v.extend(vv[order])
+                out_c.extend(cc[order])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+    cand = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

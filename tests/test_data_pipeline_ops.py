@@ -318,3 +318,21 @@ def test_kmeans_arrow_matches_relational(emb):
         assert canon(clustering.kmeans_lloyd_arrow(e, k=4, iters=3)) == canon(
             clustering.kmeans_lloyd(e, k=4, iters=3)
         )
+
+
+def test_cosine_topk_arrow_matches_relational(emb, spark):
+    """cosine_topk_bruteforce_arrow returns exactly the relational
+    baseline's rows (rounded cosines, vec_id tie-breaks, self-match
+    exclusion) — and its rank window sees only batches*Q*k candidate
+    rows, not the N*Q corpus product."""
+    q = emb.limit(3).selectExpr("vec_id as query_id", "embedding")
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["cosine"], 6), r["rank"]) for r in df.collect()
+        )
+
+    for e in (emb, emb.repartition(5)):
+        assert canon(similarity.cosine_topk_bruteforce_arrow(e, q, k=4)) == canon(
+            similarity.cosine_topk_bruteforce(e, q, k=4)
+        )
