@@ -32,20 +32,24 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"))
 
 
-def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
-    # no driver-local os.path check: the manifest lives on the cluster
-    # filesystem (HDFS/S3/...) where a local exists() is always False.
-    # Probe through the Hadoop FileSystem API instead — correct on every
-    # scheme and quieter than letting spark.read log a full
-    # FileNotFoundException stack on the (expected) fresh-start path.
+def path_exists(spark: SparkSession, path: str) -> bool | None:
+    """Cluster-correct existence probe via the Hadoop FileSystem API —
+    works on every scheme (HDFS/S3A/local), unlike a driver-local
+    os.path check, and quieter than letting spark.read log a full
+    FileNotFoundException stack on an (expected) fresh-start path.
+    Returns None when the probe itself is unavailable (non-JVM shells,
+    e.g. Connect) — callers should then fall back to a read attempt."""
     try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(manifest_path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return []
+        return bool(fs.exists(jpath))
     except Exception:
-        pass  # non-JVM shells (Connect): fall through to the read probe
+        return None
+
+
+def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
+    if path_exists(spark, manifest_path) is False:
+        return []
     try:
         rows = spark.read.parquet(manifest_path).select("bucket").distinct().collect()
     except Exception:
