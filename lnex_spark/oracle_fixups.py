@@ -217,6 +217,11 @@ FIXUPS: dict[str, dict[str, list[str]]] = {
             "centroid"
         ]
     },
+    "kmeans_cells_arrow": {
+        "double_arrays": [
+            "centroid"
+        ]
+    },
     "length_batches_docs": {
         "bigints": [
             "padding_waste",

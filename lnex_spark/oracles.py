@@ -57,12 +57,17 @@ _PRIORITY: list[str] = [
     "curation_incremental", "split_assign_docs", "pii_scrub_docs",
     "contamination_check", "pack_sequences_docs", "epoch_shuffle_docs",
     "weighted_sample_docs",
-    # text statistics / ranking
-    "tfidf_top_terms", "bm25_scores", "pmi_copairs",
+    # text statistics / ranking (PMI is represented by kg_comention_pmi)
+    "tfidf_top_terms",
     # KG analytics
     "kg_comention_pmi", "kg_negative_samples",
-    # sessionization / as-of join / sketch
-    "sessionize_events", "asof_join_clicks_errors", "hll_union_users",
+    # sessionization / as-of join
+    "sessionize_events", "asof_join_clicks_errors",
+    # round-3 Arrow fast-path twins, checked against the SAME SQL
+    # oracles as their relational forms (oracle_defs225) — the driver
+    # value-hashes the numpy kernels directly against DuckDB
+    "ann_cosine_topk_arrow", "kmeans_cells_arrow",
+    "semantic_dedup_embeddings_arrow",
 ]
 
 
