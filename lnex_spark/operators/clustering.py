@@ -129,6 +129,8 @@ def kmeans_lloyd_arrow(
     def _assign_batches(cell_ids: "np.ndarray", C: "np.ndarray", emit_partials: bool):
         def gen(batches):
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
                 # sum of squared DIFFERENCES, same as the relational
                 # zip_with form — NOT the |X|^2 - 2XC + |C|^2 expansion,

@@ -688,6 +688,8 @@ def semantic_dedup_arrow(
 
     def assign(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             sims = np.round(Xn @ Cn.T, 6)
@@ -749,6 +751,8 @@ def cosine_topk_bruteforce_arrow(
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             S = np.round(Xn @ Qn.T, 6)  # (b, Q)
