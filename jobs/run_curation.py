@@ -91,6 +91,7 @@ def main(argv=None) -> None:
     t = t.select("conv_id", "turn_idx", "role", "text")
 
     metrics: dict[str, int] = {}
+    novel = None
     if args.state:
         # incremental: drop conversations whose fingerprint is already
         # in state (earlier runs OR an earlier twin in this batch), then
@@ -98,18 +99,29 @@ def main(argv=None) -> None:
         # row per distinct conversation ever seen
         from lnex_spark.operators.lineage import path_exists
 
-        if path_exists(spark, args.state):
+        exists = path_exists(spark, args.state)
+        if exists is None:
+            # probe unavailable (non-JVM session, e.g. Connect): decide
+            # by attempting the read — an existing state table must NOT
+            # be silently treated as absent (that would re-emit every
+            # already-processed conversation and duplicate state rows)
+            try:
+                state = spark.read.parquet(args.state)
+                state.schema  # force analysis so a missing path raises here
+            except Exception:
+                exists = False
+            else:
+                exists = True
+        if exists:
             state = spark.read.parquet(args.state)
         else:
             # first run: empty state with the fingerprint-table shape
             state = spark.createDataFrame([], "conv_id string, fingerprint string")
         cls = classify_new_conversations(state, t)
-        novel = cls.where(F.col("status") == "novel").select("conv_id")
+        novel = cls.where(F.col("status") == "novel").select("conv_id").persist()
         metrics["batch_conversations"] = cls.count()
-        metrics["novel_conversations"] = novel.count()
+        metrics["novel_conversations"] = novel.count()  # also pins `novel`
         t = t.join(F.broadcast(novel), "conv_id")
-        new_fp = conversation_fingerprints(t)
-        new_fp.write.mode("append").parquet(args.state)
 
     lo, hi = (float(x) for x in args.len_band.split(","))
     packed = curate_transcripts(
@@ -122,6 +134,16 @@ def main(argv=None) -> None:
         pairs = emit_training_pairs(t, min_turns=args.min_turns, len_band=(lo, hi))
         pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
         metrics["training_pairs"] = spark.read.parquet(f"{args.out}/pairs").count()
+
+    if args.state:
+        # append the batch's novel fingerprints LAST: a crash before
+        # this point leaves state untouched, so a rerun re-processes
+        # the batch instead of silently classifying it dup_of_state
+        # and dropping it forever.  `novel` is persisted above, so this
+        # does not lazily re-read the state path mid-append.
+        new_fp = conversation_fingerprints(t)
+        new_fp.write.mode("append").parquet(args.state)
+        novel.unpersist()
 
     print(json.dumps(metrics))
 

@@ -25,7 +25,10 @@ def _cosine(a, b):  # Column, Column -> Column
     )
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    # clamp matches the Arrow twins' np.maximum(norm, 1e-300) guard so a
+    # zero vector scores cosine 0.0 on BOTH paths (0/0 would be NaN here
+    # but 0.0 in the twins — keep/drop and top-k membership must agree)
+    return dot / F.greatest(na * nb, F.lit(1e-300))
 
 
 def _as_double(col):

@@ -935,9 +935,9 @@ _ANN_TOPK_SQL = """
       FROM flat GROUP BY query_id, vec_id
     ),
     ranked AS (
-      SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cosine,
+      SELECT query_id, vec_id, round(dot / greatest(nx * ny, 1e-300), 6) AS cosine,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) AS rank
+                                ORDER BY round(dot / greatest(nx * ny, 1e-300), 6) DESC, vec_id ASC) AS rank
       FROM dots
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
@@ -1007,9 +1007,9 @@ _RADEMACHER_SIG_SQL = """
       FROM pflat GROUP BY 1, 2
     ),
     ranked AS (
-      SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cosine,
+      SELECT query_id, vec_id, round(dot / greatest(nx * ny, 1e-300), 6) AS cosine,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) AS rank
+                                ORDER BY round(dot / greatest(nx * ny, 1e-300), 6) DESC, vec_id ASC) AS rank
       FROM dots
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
@@ -1053,9 +1053,9 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pflat GROUP BY 1, 2
     ),
     ranked AS (
-      SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cosine,
+      SELECT query_id, vec_id, round(dot / greatest(nx * ny, 1e-300), 6) AS cosine,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) AS rank
+                                ORDER BY round(dot / greatest(nx * ny, 1e-300), 6) DESC, vec_id ASC) AS rank
       FROM dots
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
@@ -1103,8 +1103,8 @@ def ann_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
       FROM pflat GROUP BY 1, 2
     )
-    SELECT vec_a, vec_b, round(dot / (nx * ny), 6) AS cosine
-    FROM dots WHERE round(dot / (nx * ny), 6) >= 0.95
+    SELECT vec_a, vec_b, round(dot / greatest(nx * ny, 1e-300), 6) AS cosine
+    FROM dots WHERE round(dot / greatest(nx * ny, 1e-300), 6) >= 0.95
     """,
 )
 def embedding_near_dups_op(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,7 +55,7 @@ _HUB_SQL = """
     ranked AS (
       SELECT qid, vid,
              row_number() OVER (PARTITION BY qid
-                 ORDER BY ROUND(dot / (nx * ny), 6) DESC, vid ASC) AS rk
+                 ORDER BY ROUND(dot / greatest(nx * ny, 1e-300), 6) DESC, vid ASC) AS rk
       FROM dots
     ),
     occ AS (

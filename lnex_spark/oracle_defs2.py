@@ -301,8 +301,8 @@ def dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS ny
       FROM flat GROUP BY vec_a, vec_b
     )
-    SELECT vec_a, vec_b, round(dot / (nx * ny), 6) AS cosine
-    FROM dots WHERE round(dot / (nx * ny), 6) >= 0.95
+    SELECT vec_a, vec_b, round(dot / greatest(nx * ny, 1e-300), 6) AS cosine
+    FROM dots WHERE round(dot / greatest(nx * ny, 1e-300), 6) >= 0.95
     """,
 )
 def embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

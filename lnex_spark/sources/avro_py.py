@@ -642,6 +642,7 @@ def _read_manifest(path: str) -> dict | None:
     files: set[str] = set()
     blocks: dict[str, list[int]] = {}
     file_rows: dict[str, int] = {}
+    legacy_files: set[str] = set()
     legacy_rows = 0
     for n in names:
         with open(os.path.join(path, n)) as f:
@@ -654,7 +655,13 @@ def _read_manifest(path: str) -> dict | None:
             file_rows.update(fr)
         else:
             legacy_rows += m.get("rows", 0)
-    rows = legacy_rows + sum(file_rows.get(fn, 0) for fn in files)
+            legacy_files.update(m["files"])
+    # a file counted inside a legacy manifest's aggregate total that a
+    # NEWER manifest also lists with a file_rows entry would be counted
+    # twice (once in legacy_rows, once in the file_rows sum) — subtract
+    # the overlap so mixed legacy/new directories report exact rows
+    dup = sum(r for fn, r in file_rows.items() if fn in legacy_files)
+    rows = legacy_rows - dup + sum(file_rows.get(fn, 0) for fn in files)
     return {
         "files": sorted(files),
         "rows": rows,

@@ -449,6 +449,30 @@ def test_manifest_rows_dedup_on_replayed_epoch(tmp_path):
     assert m["files"] == ["a.avro"] and m["rows"] == 2
 
 
+def test_manifest_rows_mixed_legacy_and_new_no_double_count(tmp_path):
+    """A file listed by BOTH a legacy manifest (pre-file_rows: only an
+    aggregate ``rows`` total) and a newer manifest that carries
+    file_rows must be counted once (ADVICE r03): the legacy aggregate
+    already includes it, so the file_rows sum subtracts the overlap."""
+    out = tmp_path / "mixed"
+    out.mkdir()
+    sch = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    A.write_rows_local(str(out / "a.avro"), sch, [(1,), (2,)])
+    A.write_rows_local(str(out / "b.avro"), sch, [(3,), (4,), (5,)])
+    # legacy epoch: lists a.avro with aggregate rows only
+    with open(out / "_MANIFEST-1", "w") as f:
+        json.dump({"files": ["a.avro"], "rows": 2}, f)
+    # newer epoch: replays a.avro AND adds b.avro, with file_rows
+    with open(out / "_MANIFEST-2", "w") as f:
+        json.dump(
+            {"files": ["a.avro", "b.avro"], "rows": 5,
+             "file_rows": {"a.avro": 2, "b.avro": 3}}, f
+        )
+    m = A._read_manifest(str(out))
+    assert sorted(m["files"]) == ["a.avro", "b.avro"]
+    assert m["rows"] == 5  # was 7 before the overlap subtraction
+
+
 def test_negative_byte_length_raises_not_loops():
     """A corrupt negative length in header metadata must raise, not
     parse 'successfully' with a backwards-moving cursor."""

@@ -333,11 +333,10 @@ def test_driver_window_order_contract():
     assert len(_PRIORITY) == 50
     sql = E.oracle_sql()
     rows_only = {k for k in _PRIORITY if k not in sql}
-    # only the five by-nature infrastructure ops lack SQL oracles
-    assert rows_only == {
-        "flagship_kg_triples", "g7_match_struct", "m1_ngram_match",
-        "x2_skew_salt", "x3_checkpoint_lineage",
-    }
+    # round-4 window: only the flagship sentinel lacks a SQL oracle
+    # (rows-only by design; its kg_e2e_sql twin is registered outside
+    # the window) — every other slot is hash-checkable
+    assert rows_only == {"flagship_kg_triples"}
 
 
 def test_classify_new_conversations(spark):

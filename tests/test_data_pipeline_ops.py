@@ -336,3 +336,37 @@ def test_cosine_topk_arrow_matches_relational(emb, spark):
         assert canon(similarity.cosine_topk_bruteforce_arrow(e, q, k=4)) == canon(
             similarity.cosine_topk_bruteforce(e, q, k=4)
         )
+
+
+def test_zero_vector_cosine_parity(spark):
+    """A zero embedding must score cosine 0.0 on BOTH paths (ADVICE r03):
+    the Arrow twins clamp norms with np.maximum(norm, 1e-300); the
+    relational _cosine now clamps the denominator with greatest(...,
+    1e-300) so 0/0 never produces NaN and keep/drop + top-k membership
+    agree on degenerate input."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0] * 4),           # zero vector in the corpus
+        (2, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["cosine"], 6), r["rank"]) for r in df.collect()
+        )
+
+    rel = canon(similarity.cosine_topk_bruteforce(e, q, k=2))
+    arw = canon(similarity.cosine_topk_bruteforce_arrow(e, q, k=2))
+    assert rel == arw
+    # the zero vector is present with a finite score of exactly 0.0
+    zero = [r for r in rel if r[1] == 1]
+    assert zero and zero[0][2] == 0.0
+
+    # zero-vector QUERY as well: every corpus vector scores 0.0
+    qz = spark.createDataFrame([(99, [0.0] * 4)], "query_id long, embedding array<float>")
+    relq = canon(similarity.cosine_topk_bruteforce(e, qz, k=3))
+    arwq = canon(similarity.cosine_topk_bruteforce_arrow(e, qz, k=3))
+    assert relq == arwq
+    assert all(r[2] == 0.0 for r in relq)
