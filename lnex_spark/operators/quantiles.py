@@ -41,15 +41,19 @@ def bucketed_exact_quantile(
     steps, never a row collect.
     """
     v = F.col(col)
+    from lnex_spark.operators.scalable_windows import attach_running_sum
+
     bucket = F.floor(v / F.lit(bucket_width)).cast("long")
     hist = df.select(bucket.alias("b")).groupBy("b").agg(F.count("*").alias("c"))
     n = hist.agg(F.sum("c")).collect()[0][0]
     if not n:
         raise ValueError("empty input")
     k = math.ceil(q * n)
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # histogram size is value-range/width — usually tiny, but a
+    # pathological width choice must not recreate the single-partition
+    # window this module exists to avoid: distributed prefix sum
     target = (
-        hist.select("b", F.sum("c").over(w).alias("cum"), F.col("c"))
+        attach_running_sum(hist, [F.col("b").asc()], "c", out_col="cum")
         .filter(F.col("cum") >= k)
         .orderBy("b")
         .limit(1)

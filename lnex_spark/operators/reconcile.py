@@ -74,9 +74,16 @@ def concurrency_sweep(
     start_col: str = "s",
     end_col: str = "e",
 ) -> DataFrame:
-    """(ts, delta, concurrent): open-interval count at each boundary."""
+    """(ts, delta, concurrent): open-interval count at each boundary.
+
+    The running total over boundary timestamps is row-proportional
+    (distinct ts can approach the interval count), so it uses the
+    distributed prefix sum (operators/scalable_windows
+    .attach_running_sum) instead of a single-partition window
+    (converted in the round-4 global-window audit)."""
+    from lnex_spark.operators.scalable_windows import attach_running_sum
+
     starts = intervals.select(F.col(start_col).alias("ts"), F.lit(1).alias("d"))
     ends = intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("d"))
     deltas = starts.unionByName(ends).groupBy("ts").agg(F.sum("d").alias("delta"))
-    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return deltas.withColumn("concurrent", F.sum("delta").over(w))
+    return attach_running_sum(deltas, [F.col("ts").asc()], "delta", out_col="concurrent")

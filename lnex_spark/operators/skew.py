@@ -87,20 +87,26 @@ def key_skew_profile(df: DataFrame, key: str = "conv_id") -> DataFrame:
     ascending), ``top1_share`` and ``top10_share`` (fraction of all
     rows held by the hottest 1 / 10 keys).
 
-    The global rank window runs over the per-key COUNT table, whose
-    size is the key cardinality, not the row count — same bounded-
-    input caveat as the KS/Zipf ops; at planet scale the count table
-    is still tiny relative to the corpus. Ordering is fully specified
-    (count, then key) so ranks — and therefore the Gini sum — are
-    deterministic under ties.
+    The rank runs over the per-key COUNT table (key-cardinality-sized)
+    — but key cardinality is itself raw-scale for conv_id at 10^12
+    turns (up to ~10^9 distinct keys), so the rank is computed with
+    the DISTRIBUTED form (operators/scalable_windows.attach_rank:
+    range-partition + per-partition offsets — no single-partition
+    window over the count table; converted in the round-4 global-
+    window audit).  The descending "hot" rank is derived arithmetically
+    (rk_hot = n_keys − rk + 1: ordering by (c desc, key desc) is the
+    exact reverse of (c asc, key asc)) rather than ranked twice.
+    Ordering is fully specified (count, then key) so ranks — and
+    therefore the Gini sum — are deterministic under ties.
     """
+    from lnex_spark.operators.scalable_windows import attach_rank
+
     cnt = df.groupBy(key).agg(F.count("*").alias("c"))
-    w_asc = Window.orderBy(F.col("c").asc(), F.col(key).asc())
-    w_desc = Window.orderBy(F.col("c").desc(), F.col(key).desc())
-    ranked = cnt.select(
-        "c",
-        F.row_number().over(w_asc).alias("rk"),
-        F.row_number().over(w_desc).alias("rk_hot"),
+    n_keys = cnt.agg(F.count("*").alias("k"))
+    ranked = (
+        attach_rank(cnt, [F.col("c").asc(), F.col(key).asc()], rank_col="rk")
+        .crossJoin(F.broadcast(n_keys))
+        .select("c", "rk", (F.col("k") - F.col("rk") + 1).alias("rk_hot"))
     )
     return ranked.agg(
         F.count("*").alias("n_keys"),

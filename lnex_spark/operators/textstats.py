@@ -215,26 +215,25 @@ def vocab_coverage(
     tokenizer-vocab sizing and stopword-list cutoffs (Zipfian corpora
     cover 90% of mass with a tiny head).
 
-    The ranking window runs over the vocabulary table (token-count-
-    sized, like the G6 LM — bounded by construction, not by corpus
-    rows); counts are integers so the cumulative comparison is exact
-    on every engine.  Returns (threshold, n_top_tokens, vocab_size,
-    total_tokens).
+    The ranking runs over the vocabulary table (token-count-sized —
+    Heaps-law sublinear in corpus rows but UNBOUNDED, so it uses the
+    distributed rank+prefix-sum of operators/scalable_windows rather
+    than a single-partition window; converted in the round-4 global-
+    window audit); counts are integers so the cumulative comparison
+    is exact on every engine.  Returns (threshold, n_top_tokens,
+    vocab_size, total_tokens).
     """
+    from lnex_spark.operators.scalable_windows import attach_rank
+
     toks = tokenized(docs, text_col)
     freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
     tot = freq.agg(
         F.sum("f").alias("total_tokens"), F.count("*").alias("vocab_size")
     )
     order = [F.desc("f"), F.asc("tok")]
-    cum = (
-        Window.orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = freq.select(
-        F.row_number().over(Window.orderBy(*order)).alias("r"),
-        F.sum("f").over(cum).alias("cum"),
-    )
+    ranked = attach_rank(
+        freq, order, rank_col="r", cumsum_of="f", cumsum_col="cum"
+    ).select("r", "cum")
     th = docs.sparkSession.createDataFrame(
         [(t,) for t in thresholds], "threshold double"
     )

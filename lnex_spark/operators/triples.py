@@ -55,17 +55,22 @@ def negative_samples(
     curation.split_assign).  Collision with the true object advances
     to the next vocabulary slot, so neg_obj != pos_obj always.
 
-    The vocabulary gets a dense index from one global row_number —
-    bounded because the entity vocab is gazetteer-sized (same class as
-    the G6/L3 tables); both index joins are broadcast.  Returns
-    (subj, pos_obj, neg_obj).
+    The vocabulary gets a dense index from a distributed global rank
+    (operators/scalable_windows.attach_rank — range-partitioned, no
+    single-partition window even if the vocab grows past gazetteer
+    size; converted in the round-4 global-window audit); both index
+    joins are broadcast.  Returns (subj, pos_obj, neg_obj).
     """
     from lnex_spark.operators.curation import hash_bucket
+    from lnex_spark.operators.scalable_windows import attach_rank
 
     v = (
-        vocab.select(F.col(obj_col).cast("long").alias("cand"))
-        .distinct()
-        .withColumn("idx", F.row_number().over(Window.orderBy(F.col("cand").asc())) - 1)
+        attach_rank(
+            vocab.select(F.col(obj_col).cast("long").alias("cand")).distinct(),
+            [F.col("cand").asc()],
+            rank_col="idx",
+        )
+        .withColumn("idx", F.col("idx") - 1)
     )
     nn = v.agg(F.count("*").alias("n"))
     h = hash_bucket(F.concat_ws("|", F.col("subj"), F.col("pos_obj")), salt)

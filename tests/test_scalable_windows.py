@@ -1,0 +1,76 @@
+"""attach_rank / attach_running_sum must be value-identical to the
+single-partition global window they replace, at several partitionings
+and with cross-partition ties."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from lnex_spark.operators.scalable_windows import attach_rank, attach_running_sum
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # ties (v repeats), negative values, and enough rows to span
+    # every range partition
+    rows = [(i, (i * 7919) % 97 - 48, f"k{i:04d}") for i in range(500)]
+    return spark.createDataFrame(rows, "id long, v long, k string")
+
+
+def _canon(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_rank_matches_global_window(vals):
+    order = [F.col("v").asc(), F.col("k").asc()]
+    w = Window.orderBy(*order)
+    want = _canon(
+        vals.withColumn("rn", F.row_number().over(w)), ["id", "rn"]
+    )
+    for d in (vals, vals.repartition(7), vals.coalesce(1)):
+        got = _canon(attach_rank(d, order, rank_col="rn"), ["id", "rn"])
+        assert got == want
+
+
+def test_rank_and_cumsum_match_global_window(vals):
+    order = [F.col("v").asc(), F.col("k").asc()]
+    w = Window.orderBy(*order)
+    ww = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = _canon(
+        vals.withColumn("rn", F.row_number().over(w)).withColumn(
+            "cum", F.sum("v").over(ww)
+        ),
+        ["id", "rn", "cum"],
+    )
+    got = _canon(
+        attach_rank(vals.repartition(5), order, rank_col="rn", cumsum_of="v", cumsum_col="cum"),
+        ["id", "rn", "cum"],
+    )
+    assert got == want
+
+
+def test_running_sum_desc_order(vals):
+    order = [F.col("v").desc(), F.col("k").desc()]
+    ww = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = _canon(vals.withColumn("cum", F.sum("v").over(ww)), ["id", "cum"])
+    got = _canon(
+        attach_running_sum(vals.repartition(9), order, "v", out_col="cum"), ["id", "cum"]
+    )
+    assert got == want
+
+
+def test_no_single_partition_exchange_in_plan(vals):
+    """The scale contract itself: the plan must contain NO
+    Exchange SinglePartition feeding a row-scale window — only the
+    partition-count-bounded offsets table may pass through one."""
+    order = [F.col("v").asc(), F.col("k").asc()]
+    out = attach_rank(vals, order, rank_col="rn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the offsets subtree aggregates to <= n_parts rows before its
+    # single-partition window; the DATA path must go through a range
+    # exchange instead
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_empty_input(spark):
+    e = spark.createDataFrame([], "v long, k string")
+    assert attach_rank(e, [F.col("v"), F.col("k")], rank_col="rn").count() == 0
