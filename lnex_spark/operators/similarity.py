@@ -35,6 +35,33 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# Driver-collect guard for the Arrow/PQ paths' "queries ≪ corpus"
+# contract: the query set rides the driver and the UDF closure, so it
+# must stay closure-sized. 100k queries × 128-dim float64 ≈ 100 MB —
+# past that the caller is doing an all-pairs/corpus-vs-corpus job and
+# must use the DataFrame-native relational form instead
+# (cosine_topk_bruteforce / cosine_topk_lsh / cosine_topk_ivf), whose
+# query side is a distributed table, not a broadcast closure.  Mirrors
+# gazetteer/build.build_match_struct's max_names guard: the limit
+# bounds the collect itself, so checking cannot OOM.
+MAX_DRIVER_QUERIES = 100_000
+
+
+def _collect_query_rows(queries: DataFrame, max_queries: int | None = None) -> list:
+    cap = MAX_DRIVER_QUERIES if max_queries is None else max_queries
+    rows = queries.select("query_id", "embedding").limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query set exceeds max_queries={cap}: the Arrow/PQ top-k "
+            "paths broadcast the query set in the UDF closure and only "
+            "hold for queries ≪ corpus. Use the DataFrame-native "
+            "relational form (cosine_topk_bruteforce / cosine_topk_lsh "
+            "/ cosine_topk_ivf) for corpus-scale query sets, or raise "
+            "max_queries explicitly if the driver can hold them."
+        )
+    return rows
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -343,6 +370,7 @@ def pq_adc_topk(
     m_subspaces: int = 8,
     n_codes: int = 16,
     k: int = 5,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (Jégou, Douze & Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
@@ -361,7 +389,7 @@ def pq_adc_topk(
     Exact-integer math end-to-end → the DuckDB oracle re-derives
     identical adc values."""
     cb = _pq_codebook_np(embeddings, m_subspaces, n_codes)
-    q_rows = queries.select("query_id", "embedding").collect()
+    q_rows = _collect_query_rows(queries, max_queries)
     q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     q_mat = _pq_quantize(np.vstack([r.embedding for r in q_rows]))
     m_sub, n_k, ds = cb.shape
@@ -421,6 +449,7 @@ def ann_ivfpq_topk(
     n_codes: int = 16,
     k: int = 5,
     centroids: DataFrame | None = None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the coarse quantizer restricts each query to its
     ``nprobe`` nearest cells (exactly cosine_topk_ivf's assign/probe
@@ -458,7 +487,7 @@ def ann_ivfpq_topk(
     # PQ fine quantizer: corpus codes (Arrow pass) + query distance
     # tables (driver-side numpy over the tiny query set, broadcast)
     cb = _pq_codebook_np(embeddings, m_subspaces, n_codes)
-    q_rows = queries.select("query_id", "embedding").collect()
+    q_rows = _collect_query_rows(queries, max_queries)
     q_mat = _pq_quantize(np.vstack([r.embedding for r in q_rows]))
     m_sub, n_k, ds = cb.shape
     dt_rows = []
@@ -731,7 +760,10 @@ def semantic_dedup_arrow(
 
 
 def cosine_topk_bruteforce_arrow(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """BLAS/Arrow twin of :func:`cosine_topk_bruteforce` — identical
     results (round(cosine,6), rank ties by vec_id, self-matches
@@ -747,7 +779,7 @@ def cosine_topk_bruteforce_arrow(
     batches x Q x k rows, never the corpus."""
     import pandas as pd
 
-    q_rows = sorted(queries.select("query_id", "embedding").collect(), key=lambda r: r["query_id"])
+    q_rows = sorted(_collect_query_rows(queries, max_queries), key=lambda r: r["query_id"])
     q_ids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)

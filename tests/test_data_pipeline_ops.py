@@ -370,3 +370,16 @@ def test_zero_vector_cosine_parity(spark):
     arwq = canon(similarity.cosine_topk_bruteforce_arrow(e, qz, k=3))
     assert relq == arwq
     assert all(r[2] == 0.0 for r in relq)
+
+
+def test_arrow_query_set_guard(emb):
+    """The Arrow/PQ paths collect the query set to the driver; past
+    max_queries they must refuse with the relational fallback named
+    (guard added per ADVICE/VERDICT r03) rather than OOM the driver."""
+    q = emb.limit(3).selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="cosine_topk_bruteforce"):
+        similarity.cosine_topk_bruteforce_arrow(emb, q, k=2, max_queries=2)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_adc_topk(emb, q, k=2, max_queries=1)
+    # under the cap: unchanged behavior
+    assert similarity.cosine_topk_bruteforce_arrow(emb, q, k=2, max_queries=3).count() > 0
