@@ -67,14 +67,15 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _real_decode(kind: str, payload: bytes, meta) -> np.ndarray:
-    """REAL decode for the formats media_codec owns (BMP/PPM/PGM/WAV/VID0):
-    decode pixels/samples and compute an 8-dim feature vector.  Compressed
-    formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError — the honest
+    """REAL decode for the formats media_codec owns
+    (BMP/PPM/PGM/PNG/WAV/VID0 — PNG is a real compressed format,
+    inflate + unfilter in pure Python/zlib).  Remaining compressed
+    formats (JPEG/MP3/MP4) still raise NotImplementedError — the honest
     env-gate (no PIL/librosa/av wheel in this container)."""
     from lnex_spark.operators import media_codec as mc
 
     fmt = mc.sniff(payload)
-    if fmt in ("bmp", "ppm", "pgm"):
+    if fmt in ("bmp", "ppm", "pgm", "png"):
         px = mc.decode_image(payload).astype(np.float64)
         h, w = px.shape[:2]
         means = px.reshape(-1, px.shape[2]).mean(axis=0)
@@ -97,8 +98,9 @@ def _real_decode(kind: str, payload: bytes, meta) -> np.ndarray:
         feats[7] = float(mc.vid_frame_count(payload))
         return feats
     raise NotImplementedError(
-        f"no pure-Python decoder for {fmt!r} payloads — JPEG/PNG/MP3/MP4 need "
-        "PIL/librosa/av, absent in this container; BMP/PPM/PGM/WAV/VID0 decode for real"
+        f"no pure-Python decoder for {fmt!r} payloads — JPEG/MP3/MP4 need "
+        "PIL/librosa/av, absent in this container; BMP/PPM/PGM/PNG/WAV/VID0 "
+        "decode for real"
     )
 
 
@@ -111,7 +113,10 @@ def _real_decode(kind: str, payload: bytes, meta) -> np.ndarray:
 #
 #   image (doc_id%3==0): 32×16 RGB, pixel(r,c,ch) = (c + ch + id) % 256
 #                        (constant down columns); BMP when id even, P6
-#                        PPM when odd — exercises both codecs.
+#                        PPM when id%4==1, PNG (filter-cycled, so all
+#                        five unfilter paths run) when id%4==3 —
+#                        exercises all three codecs incl. the real
+#                        compressed one.
 #   audio (doc_id%3==1): 2000 mono int16 samples @16 kHz,
 #                        s[i] = ((7i + id) % 512) - 256.
 #   video (doc_id%3==2): (id%5)+1 frames of 8×16 RGB in the VID0
@@ -131,7 +136,11 @@ def _synth_payload(media_id: int) -> tuple[str, bytes]:
         ch = np.arange(3)[None, None, :]
         px = ((c + ch + media_id) % 256).astype(np.uint8)
         px = np.broadcast_to(px, (_IMG_H, _IMG_W, 3))
-        return "image", (mc.encode_bmp(px) if media_id % 2 == 0 else mc.encode_ppm(px))
+        if media_id % 2 == 0:
+            return "image", mc.encode_bmp(px)
+        if media_id % 4 == 1:
+            return "image", mc.encode_ppm(px)
+        return "image", mc.encode_png(np.ascontiguousarray(px))
     if k == 1:
         i = np.arange(_AUD_N, dtype=np.int64)
         s = ((7 * i + media_id) % 512 - 256).astype(np.int16)

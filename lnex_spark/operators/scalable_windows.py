@@ -108,3 +108,101 @@ def attach_running_sum(
         cumsum_col=out_col,
         n_parts=n_parts,
     ).drop("__sw_drop_rn")
+
+
+def attach_rank_ties(
+    df: DataFrame,
+    order: list[Column | str],
+    order_key_cols: list[str],
+    rank_col: str = "rk",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed ``rank()`` (ties share the rank of their first row):
+    global row_number, then each distinct ordering key takes the MIN
+    row_number over its tie group — a hash agg + equi-join on the
+    ordering columns, both parallel, no single-partition stage.
+
+    ``order_key_cols`` must name exactly the columns ``order`` sorts by
+    (rank() tie groups are defined by ordering-key equality)."""
+    d = attach_rank(df, order, rank_col="__sw_rn_t", n_parts=n_parts)
+    firsts = d.groupBy(*order_key_cols).agg(F.min("__sw_rn_t").alias(rank_col))
+    return d.join(firsts, order_key_cols).drop("__sw_rn_t")
+
+
+def attach_shift(
+    df: DataFrame,
+    order: list[Column | str],
+    cols: list[str],
+    offset: int = -1,
+    suffix: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed ``lag``/``lead`` by |offset| rows under a GLOBAL
+    ordering (offset=-1 → lag 1, offset=+2 → lead 2, …): attach the
+    distributed row number, then self-equi-join on ``rn == rn+offset``.
+    The join shuffles on rn — uniformly distributed by construction, so
+    no skew — and both sides prune to (rn, cols).
+
+    New columns are named ``{col}{suffix}`` with suffix defaulting to
+    ``_lag{n}`` / ``_lead{n}``; missing neighbors are NULL, matching
+    the window form's default."""
+    if offset == 0:
+        raise ValueError("offset must be nonzero")
+    if suffix is None:
+        suffix = f"_lag{-offset}" if offset < 0 else f"_lead{offset}"
+    d = attach_rank(df, order, rank_col="__sw_rn_s", n_parts=n_parts)
+    other = d.select(
+        (F.col("__sw_rn_s") - F.lit(offset)).alias("__sw_rn_o"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in cols],
+    )
+    return d.join(
+        other, d["__sw_rn_s"] == other["__sw_rn_o"], "left"
+    ).drop("__sw_rn_o", "__sw_rn_s")
+
+
+def attach_running_extremum(
+    df: DataFrame,
+    order: list[Column | str],
+    value_col: str | Column,
+    out_col: str = "runmax",
+    kind: str = "max",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed running max/min of ``value_col`` under ``ORDER BY
+    order``: per-partition running extremum combined with the extremum
+    of all preceding partitions (offsets table, ≤ n_parts rows)."""
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    oe = _order_exprs(order)
+    agg = F.max if kind == "max" else F.min
+    comb = F.greatest if kind == "max" else F.least
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    d = df.repartitionByRange(n_parts, *oe).withColumn(_PID, F.spark_partition_id())
+    intra = Window.partitionBy(_PID).orderBy(*oe).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("__sw_rx", agg(v).over(intra))
+    sizes = d.groupBy(_PID).agg(agg(v).alias("__sw_px"))
+    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.withColumn("__sw_po", agg("__sw_px").over(woff)).drop("__sw_px")
+    return (
+        d.join(F.broadcast(offs), _PID)
+        .withColumn(out_col, comb(F.col("__sw_rx"), F.col("__sw_po")))
+        .drop(_PID, "__sw_rx", "__sw_po")
+    )
+
+
+def ntile_expr(rank_col: str, total: Column, k: int) -> Column:
+    """Spark-semantics NTILE(k) from a precomputed global rank and the
+    total row count: the first ``n % k`` tiles get ``n//k + 1`` rows.
+    Use with :func:`attach_rank` + a broadcast count scalar."""
+    rn = F.col(rank_col).cast("long")
+    base = (total / k).cast("long")
+    rem = total - base * k
+    big = rem * (base + 1)
+    return (
+        F.when(rn <= big, (rn - 1) / (base + 1))
+        .otherwise(rem + (rn - 1 - big) / base)
+        .cast("long")
+        + 1
+    ).cast("int")

@@ -48,7 +48,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   + 29 * ((c + 2 + media_id) % 256)) // 256) AS BIGINT) AS y_sum
               FROM cols GROUP BY media_id)
     SELECT media_id,
-           CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CASE WHEN media_id % 2 = 0 THEN 'bmp' WHEN media_id % 4 = 1 THEN 'ppm' ELSE 'png' END AS fmt,
            CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
            px_sum, px_min, px_max, y_sum
     FROM agg_v JOIN agg_y USING (media_id)

@@ -134,6 +134,11 @@ def test_sniff_dispatch():
     assert mc.sniff(mc.encode_vid([px])) == "vid0"
     assert mc.sniff(b"\xff\xd8\xff\xe0 jpeg") == "unknown"
     with pytest.raises(NotImplementedError):
+        mc.decode_image(b"\xff\xd8\xff\xe0 jpeg")  # JPEG stays env-gated
+    # a bare PNG signature now dispatches to the real decoder, which
+    # rejects the truncated stream
+    assert mc.sniff(b"\x89PNG\r\n\x1a\n") == "png"
+    with pytest.raises(ValueError, match="IHDR"):
         mc.decode_image(b"\x89PNG\r\n\x1a\n")
 
 
@@ -167,7 +172,9 @@ def test_real_media_ops_end_to_end(spark):
     for mid, r in img.items():
         expect = 16 * sum((c + ch + mid) % 256 for c in range(32) for ch in range(3))
         assert r["px_sum"] == expect
-        assert r["fmt"] == ("bmp" if mid % 2 == 0 else "ppm")
+        assert r["fmt"] == (
+            "bmp" if mid % 2 == 0 else ("ppm" if mid % 4 == 1 else "png")
+        )
 
     aud = {r["media_id"]: r for r in audio_stats_op(media).collect()}
     for mid, r in aud.items():
@@ -234,3 +241,95 @@ def test_image_stats_pgm_grayscale(spark):
     assert got["fmt"] == "pgm" and (got["width"], got["height"]) == (8, 6)
     assert got["px_sum"] == int(g.sum())
     assert got["y_sum"] == int(g.sum())  # BT.601 of equal channels = identity
+
+
+def test_png_round_trip_all_filters():
+    """encode_png(filters='cycle') writes one row per filter type
+    (None/Sub/Up/Average/Paeth for >=5 rows); decode must invert all
+    five, for RGB, grayscale, and RGBA."""
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(rgb)), rgb)
+    gray = rng.randint(0, 256, (7, 5), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(gray))[:, :, 0], gray)
+    rgba = rng.randint(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(rgba)), rgba)
+    # filter 0 only
+    assert np.array_equal(mc.decode_png(mc.encode_png(rgb, filters="none")), rgb)
+
+
+def test_png_filters_match_spec_reference():
+    """Decode against an independently filtered raster: filters applied
+    with the literal spec §9 formulas in this test (per-byte Python),
+    not via the codec's vectorized encoder."""
+    import struct as st
+    import zlib
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    h, w, ch = px.shape
+    rows = px.reshape(h, w * ch).astype(int)
+    raster = bytearray()
+    for r in range(h):
+        ft = r % 5
+        raster.append(ft)
+        for i in range(w * ch):
+            x = rows[r][i]
+            a = rows[r][i - ch] if i >= ch else 0          # left
+            b = rows[r - 1][i] if r > 0 else 0             # up
+            c = rows[r - 1][i - ch] if (r > 0 and i >= ch) else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - a
+            elif ft == 2:
+                v = x - b
+            elif ft == 3:
+                v = x - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = x - pred
+            raster.append(v & 255)
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raster))) + chunk(b"IEND", b""))
+    assert np.array_equal(mc.decode_png(png), px)
+
+
+def test_png_palette():
+    import struct as st
+    import zlib
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    ihdr = st.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raster = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    assert np.array_equal(mc.decode_png(png), pal[idx])
+
+
+def test_png_rejects_corrupt_crc_and_sniffs():
+    good = mc.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert mc.sniff(good) == "png"
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a CRC byte of IEND
+    with pytest.raises(ValueError, match="CRC"):
+        mc.decode_png(bytes(bad))
+    assert np.array_equal(
+        mc.decode_image(good), np.zeros((4, 4, 3), dtype=np.uint8)
+    )

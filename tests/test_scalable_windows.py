@@ -74,3 +74,71 @@ def test_no_single_partition_exchange_in_plan(vals):
 def test_empty_input(spark):
     e = spark.createDataFrame([], "v long, k string")
     assert attach_rank(e, [F.col("v"), F.col("k")], rank_col="rn").count() == 0
+
+
+def test_rank_ties_matches_global_rank(vals):
+    # many ties on v alone
+    order = [F.col("v").asc()]
+    w = Window.orderBy(*order)
+    want = _canon(vals.withColumn("rk", F.rank().over(w)), ["id", "rk"])
+    from lnex_spark.operators.scalable_windows import attach_rank_ties
+
+    got = _canon(
+        attach_rank_ties(vals.repartition(6), [F.col("v").asc(), F.col("k").asc()],
+                         ["v"], rank_col="rk"),
+        ["id", "rk"],
+    )
+    # NOTE: attach_rank_ties needs a total order for the row_number but
+    # tie groups come from order_key_cols; rank() over v alone equals
+    # min row_number within each v group regardless of tie-break choice
+    assert got == want
+
+
+def test_shift_matches_lag_lead(vals):
+    from lnex_spark.operators.scalable_windows import attach_shift
+
+    order = [F.col("v").asc(), F.col("k").asc()]
+    w = Window.orderBy(*order)
+    want = _canon(
+        vals.withColumn("v_lag1", F.lag("v", 1).over(w)).withColumn(
+            "v_lead2", F.lead("v", 2).over(w)
+        ),
+        ["id", "v_lag1", "v_lead2"],
+    )
+    got_df = attach_shift(vals.repartition(4), order, ["v"], offset=-1)
+    got_df = attach_shift(got_df, order, ["v"], offset=2)
+    got = _canon(got_df, ["id", "v_lag1", "v_lead2"])
+    assert got == want
+
+
+def test_running_extremum(vals):
+    from lnex_spark.operators.scalable_windows import attach_running_extremum
+
+    order = [F.col("k").asc()]
+    ww = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = _canon(
+        vals.withColumn("rmax", F.max("v").over(ww)).withColumn(
+            "rmin", F.min("v").over(ww)
+        ),
+        ["id", "rmax", "rmin"],
+    )
+    d = attach_running_extremum(vals.repartition(7), order, "v", "rmax", "max")
+    d = attach_running_extremum(d, order, "v", "rmin", "min")
+    assert _canon(d, ["id", "rmax", "rmin"]) == want
+
+
+def test_ntile_expr_matches_spark_ntile(vals):
+    from lnex_spark.operators.scalable_windows import attach_rank, ntile_expr
+
+    order = [F.col("v").asc(), F.col("k").asc()]
+    for k in (3, 7, 500, 501):
+        w = Window.orderBy(*order)
+        want = _canon(vals.withColumn("t", F.ntile(k).over(w)), ["id", "t"])
+        n = vals.count()
+        got = _canon(
+            attach_rank(vals, order, rank_col="rn").withColumn(
+                "t", ntile_expr("rn", F.lit(n), k)
+            ),
+            ["id", "t"],
+        )
+        assert got == want, f"k={k}"
