@@ -47,47 +47,57 @@ def attach_rank(
     cumsum_of: str | Column | None = None,
     cumsum_col: str = "cum",
     n_parts: int | None = None,
+    cumsums: list[tuple[str | Column, str]] | None = None,
 ) -> DataFrame:
-    """Add a global ``row_number`` (and optionally a global running
-    sum of ``cumsum_of``) under ``ORDER BY order`` without ever
-    moving the data to a single partition.
+    """Add a global ``row_number`` (and optionally global running sums)
+    under ``ORDER BY order`` without ever moving the data to a single
+    partition.
 
-    ``order`` must be a total order (include a tie-breaking key) for
-    the rank to be deterministic — identical to the contract of the
-    unpartitioned-window form this replaces.
+    ``cumsums`` takes ``[(value_expr, out_col), ...]`` for several
+    running totals in ONE pass (one range shuffle, shared offsets
+    table); ``cumsum_of``/``cumsum_col`` remain as the single-sum
+    shorthand.  ``order`` must be a total order (include a tie-breaking
+    key) for the rank to be deterministic — identical to the contract
+    of the unpartitioned-window form this replaces.
     """
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sums = list(cumsums or [])
+    if cumsum_of is not None:
+        sums.append((cumsum_of, cumsum_col))
     oe = _order_exprs(order)
     d = df.repartitionByRange(n_parts, *oe).withColumn(_PID, F.spark_partition_id())
 
     intra = Window.partitionBy(_PID).orderBy(*oe)
+    run = intra.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn(_INTRA_RN, F.row_number().over(intra))
     aggs = [F.count(F.lit(1)).alias("_sw_n")]
-    want_sum = cumsum_of is not None
-    if want_sum:
-        cs_expr = F.col(cumsum_of) if isinstance(cumsum_of, str) else cumsum_of
-        d = d.withColumn(
-            _INTRA_CS,
-            F.sum(cs_expr).over(intra.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        aggs.append(F.sum(cs_expr).alias("_sw_s"))
+    for i, (expr, _) in enumerate(sums):
+        e = F.col(expr) if isinstance(expr, str) else expr
+        d = d.withColumn(f"{_INTRA_CS}{i}", F.sum(e).over(run))
+        aggs.append(F.sum(e).alias(f"_sw_s{i}"))
 
     # per-partition totals: ≤ n_parts rows — the ONLY global window
     # left runs over this partition-count-bounded table
     sizes = d.groupBy(_PID).agg(*aggs)
     woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.withColumn(_ROWS_OFF, F.coalesce(F.sum("_sw_n").over(woff), F.lit(0)))
-    if want_sum:
-        offs = offs.withColumn(_SUM_OFF, F.coalesce(F.sum("_sw_s").over(woff), F.lit(0)))
-    offs = offs.drop("_sw_n", "_sw_s")
+    drop_tmp = ["_sw_n"]
+    for i in range(len(sums)):
+        offs = offs.withColumn(
+            f"{_SUM_OFF}{i}", F.coalesce(F.sum(f"_sw_s{i}").over(woff), F.lit(0))
+        )
+        drop_tmp.append(f"_sw_s{i}")
+    offs = offs.drop(*drop_tmp)
 
     out = d.join(F.broadcast(offs), _PID).withColumn(
         rank_col, (F.col(_INTRA_RN) + F.col(_ROWS_OFF)).cast("int")
     )
-    if want_sum:
-        out = out.withColumn(cumsum_col, F.col(_INTRA_CS) + F.col(_SUM_OFF))
-    return out.drop(_PID, _INTRA_RN, _INTRA_CS, _ROWS_OFF, _SUM_OFF)
+    dropme = [_PID, _INTRA_RN, _ROWS_OFF]
+    for i, (_, name) in enumerate(sums):
+        out = out.withColumn(name, F.col(f"{_INTRA_CS}{i}") + F.col(f"{_SUM_OFF}{i}"))
+        dropme += [f"{_INTRA_CS}{i}", f"{_SUM_OFF}{i}"]
+    return out.drop(*dropme)
 
 
 def attach_running_sum(

@@ -148,12 +148,17 @@ _SYS_SQL = f"""
 def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
+    from lnex_spark.operators.scalable_windows import attach_rank
+
     o = _t(spark, sf_dir, "orders")
     start = int(hashlib.md5(b"sys-v1").hexdigest()[:4], 16) % _SYS_K
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
+    # distributed global rank (round-4 window audit): the rank runs
+    # over ALL orders rows, so it must not shuffle to a single task
+    ranked = attach_rank(
+        o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()], rank_col="rk"
+    ).select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.row_number().over(w).alias("rk"),
+        "rk",
     )
     sampled = ranked.filter((F.col("rk") - 1) % _SYS_K == start)
     pop = ranked.agg(F.count("*").alias("n_pop"), F.sum("cents").alias("pop_cents"))

@@ -76,22 +76,22 @@ def budget_selection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 / (1.0 + F.exp(-(F.col("n_chars") - 400) / 150.0))).alias("p"),
         (F.floor(F.col("n_chars") / 4).cast("long") + 1).alias("toks"),
     )
-    # corpus-wide ranking window: the density sort — at 100 TB this
-    # becomes the two-pass bucketed selection of operators/quantiles.py
-    ranked = scored.select(
-        "doc_id",
-        "p",
-        "toks",
-        F.round(F.col("p") / F.col("toks"), 9).alias("density"),
-    ).withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("density"), F.asc("doc_id"))),
-    )
-    running = ranked.withColumn(
-        "cum_toks",
-        F.sum("toks").over(
-            Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    # corpus-wide ranking: distributed rank + prefix-sum (round-4
+    # window audit — the sort runs over ALL documents, so it must not
+    # pass through a single task)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    running = attach_rank(
+        scored.select(
+            "doc_id",
+            "p",
+            "toks",
+            F.round(F.col("p") / F.col("toks"), 9).alias("density"),
         ),
+        [F.desc("density"), F.asc("doc_id")],
+        rank_col="rk",
+        cumsum_of="toks",
+        cumsum_col="cum_toks",
     )
     selected = running.filter(F.col("cum_toks") <= _BUDGET)
     maxr = selected.agg(F.max("rk").alias("mr"))

@@ -100,15 +100,16 @@ def conformal_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal_scores = cal.join(p, ["s", "t"], "left").select(
         F.coalesce(F.col("p"), F.lit(0.0)).alias("score")
     )
-    # calibration-sized global window (bounded by transition count)
-    wq = Window.orderBy("score")
-    wn = Window.partitionBy()
+    # the calibration scores are one row per first-half EVENT (raw
+    # scale), so the quantile pick uses the distributed rank (round-4
+    # window audit) with the total count as a broadcast scalar; score
+    # ties don't affect the selected VALUE at the target rank
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    n_cal = cal_scores.agg(F.count("*").alias("n"))
     q = (
-        cal_scores.select(
-            "score",
-            F.row_number().over(wq).alias("rk"),
-            F.count("*").over(wn).alias("n"),
-        )
+        attach_rank(cal_scores, [F.col("score").asc()], rank_col="rk")
+        .crossJoin(F.broadcast(n_cal))
         .filter(F.col("rk") == F.ceil(F.col("n") * 0.1).cast("long"))
         .select(F.col("score").alias("thr"))
     )

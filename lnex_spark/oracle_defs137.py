@@ -84,12 +84,16 @@ def gini_lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
-    w = Window.orderBy("revenue", "o_custkey")
-    ranked = rev.select(
-        "revenue",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    # distributed rank over the per-CUSTOMER table (customer count is
+    # raw-scale at 100 TB) + broadcast totals — round-4 window audit
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        rev, [F.col("revenue").asc(), F.col("o_custkey").asc()], rank_col="i"
+    ).crossJoin(
+        F.broadcast(
+            rev.agg(F.count("*").alias("n"), F.sum("revenue").alias("total"))
+        )
     )
     gini = ranked.agg(
         F.round(

@@ -74,14 +74,16 @@ def average_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 / (1.0 + F.exp(-(F.col("n_chars") - 400) / 150.0))).alias("p"),
         (F.col("lang") == "en").cast("int").alias("y"),
     )
-    w = Window.orderBy(F.desc("p"), "doc_id")
-    ranked = scored.select(
-        "y",
-        F.row_number().over(w).alias("k"),
-        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "tp_at_k"
-        ),
-    )
+    # distributed rank + prefix-sum over ALL documents (round-4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        scored,
+        [F.desc("p"), F.asc("doc_id")],
+        rank_col="k",
+        cumsum_of="y",
+        cumsum_col="tp_at_k",
+    ).select("y", "k", "tp_at_k")
     npos = scored.agg(F.sum("y").alias("n_pos"))
     return (
         ranked.crossJoin(F.broadcast(npos))

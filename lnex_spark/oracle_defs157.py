@@ -75,14 +75,19 @@ def weibull_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1000000.0).alias("t"),
         "event_id",
     )
-    wo = Window.orderBy("t", "event_id")
-    gaps = err.select(
-        F.round(F.col("t") - F.lag("t").over(wo), 6).alias("g")
-    ).where(F.col("g").isNotNull() & (F.col("g") > 0))
-    pos = gaps.select(
-        "g",
-        F.row_number().over(Window.orderBy("g")).alias("i"),
-    ).crossJoin(F.broadcast(gaps.agg(F.count("*").alias("n"))))
+    # distributed global lag + rank (round-4 window audit: both ran
+    # over every error event).  Ties on g permute i among equal-g rows
+    # only, which the downstream sums are invariant to.
+    from lnex_spark.operators.scalable_windows import attach_rank, attach_shift
+
+    gaps = (
+        attach_shift(err, [F.col("t").asc(), F.col("event_id").asc()], ["t"], offset=-1)
+        .select(F.round(F.col("t") - F.col("t_lag1"), 6).alias("g"))
+        .where(F.col("g").isNotNull() & (F.col("g") > 0))
+    )
+    pos = attach_rank(gaps, [F.col("g").asc()], rank_col="i").crossJoin(
+        F.broadcast(gaps.agg(F.count("*").alias("n")))
+    )
     xy = pos.select(
         F.log("g").alias("x"),
         F.log(-F.log(1 - (F.col("i") - 0.3) / (F.col("n") + 0.4))).alias("y"),
@@ -154,9 +159,11 @@ def crow_amsaa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t") > 0)
     )
-    seq = err.select(
-        "t", F.row_number().over(Window.orderBy("t", "event_id")).alias("i")
-    )
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    seq = attach_rank(
+        err, [F.col("t").asc(), F.col("event_id").asc()], rank_col="i"
+    ).select("t", "i")
     xy = seq.select(
         F.log("t").alias("x"), F.log(F.col("i").cast("double")).alias("y")
     )

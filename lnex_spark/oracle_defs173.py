@@ -235,9 +235,13 @@ def cornish_fisher_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (2 * zq * zq * zq - 5 * zq) * F.col("g1") * F.col("g1") / 36
     )
     zcf = shape.withColumn("z", z)
-    ranked = ev.select(
-        "value",
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("rn"),
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    # distributed rank over ALL events (round-4 window audit)
+    ranked = attach_rank(
+        ev.select("value", "event_id"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="rn",
     ).crossJoin(F.broadcast(ev.agg(F.count("*").alias("nn"))))
     emp = ranked.where(
         F.col("rn") == F.ceil(0.95 * F.col("nn")).cast("long")

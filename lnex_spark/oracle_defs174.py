@@ -217,18 +217,64 @@ def brunner_munzel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
         "event_id",
     )
-    wc = Window.orderBy("v")
-    wtv = Window.partitionBy("v")
-    wg = Window.partitionBy("g").orderBy("v")
-    wgv = Window.partitionBy("g", "v")
-    rc = samp.select(
+    # midranks computed RELATIONALLY (round-4 window audit): the
+    # original global rank()/count() windows ran over every sampled
+    # event; the midrank of value v is fully determined by the
+    # value-level counts — rank(v) = cum(v) - c_eq(v) + 1, midrank =
+    # (2*rank + c_eq - 1)/2 — so aggregate per value, distributed
+    # prefix-sum over the (distinct-value-sized) tables, and equi-join
+    # back.  The 2-group within-rank offset comes from a 2-row table.
+    from lnex_spark.operators.scalable_windows import attach_running_sum
+
+    vc = attach_running_sum(
+        samp.groupBy("v").agg(F.count("*").alias("ceq")),
+        [F.col("v").asc()],
+        "ceq",
+        out_col="cumv",
+    )
+    rcomb_tab = vc.select(
+        "v",
+        ((2.0 * (F.col("cumv") - F.col("ceq") + 1) + F.col("ceq") - 1) / 2).alias(
+            "rcomb"
+        ),
+    )
+    gvc = attach_running_sum(
+        samp.groupBy("g", "v").agg(F.count("*").alias("ceq")),
+        [F.col("g").asc(), F.col("v").asc()],
+        "ceq",
+        out_col="cumgv",
+    )
+    goff = (
+        gvc.groupBy("g")
+        .agg(F.sum("ceq").alias("gtot"))
+        .withColumn(
+            "goffset",
+            F.coalesce(
+                F.sum("gtot").over(
+                    Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("g", "goffset")  # one row per group (2) — bounded
+    )
+    rwith_tab = gvc.join(F.broadcast(goff), "g").select(
         "g",
+        "v",
         (
-            (2.0 * F.rank().over(wc) + F.count("*").over(wtv) - 1) / 2
-        ).alias("rcomb"),
-        (
-            (2.0 * F.rank().over(wg) + F.count("*").over(wgv) - 1) / 2
+            (
+                2.0
+                * (F.col("cumgv") - F.col("goffset") - F.col("ceq") + 1)
+                + F.col("ceq")
+                - 1
+            )
+            / 2
         ).alias("rwith"),
+    )
+    rc = (
+        samp.join(rcomb_tab, "v")
+        .join(rwith_tab, ["g", "v"])
+        .select("g", "rcomb", "rwith")
     )
     gr = rc.groupBy("g").agg(
         F.count("*").alias("n"), F.avg("rcomb").alias("rbar")

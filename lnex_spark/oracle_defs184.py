@@ -150,18 +150,19 @@ def freshness_age_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1000000.0).alias("t"),
         "event_id",
     )
-    wo = Window.orderBy("t", "event_id")
-    gaps = upd.select(
-        (F.col("t") - F.lag("t").over(wo)).alias("g")
-    ).where(F.col("g").isNotNull())
-    span = upd.agg((F.max("t") - F.min("t")).alias("span"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # distributed global lag + rank over purchase events (round-4
+    # window audit); g-ties permute ranks among equal gaps only, which
+    # the rank-based quantile pick is invariant to
+    from lnex_spark.operators.scalable_windows import attach_rank, attach_shift
+
+    gaps = (
+        attach_shift(upd, [F.col("t").asc(), F.col("event_id").asc()], ["t"], offset=-1)
+        .select((F.col("t") - F.col("t_lag1")).alias("g"))
+        .where(F.col("g").isNotNull())
     )
-    ranked = gaps.select(
-        "g",
-        F.row_number().over(Window.orderBy("g")).alias("rn"),
-        F.count("*").over(wall).alias("nn"),
+    span = upd.agg((F.max("t") - F.min("t")).alias("span"))
+    ranked = attach_rank(gaps, [F.col("g").asc()], rank_col="rn").crossJoin(
+        F.broadcast(gaps.agg(F.count("*").alias("nn")))
     )
     return (
         ranked.crossJoin(F.broadcast(span))

@@ -66,14 +66,19 @@ _BON_SQL = """
 
 @register("best_of_n_events", _BON_SQL)
 def best_of_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.scalable_windows import attach_rank
+
     ev = _t(spark, sf_dir, "events")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ev.select(
-        F.col("value").alias("x"),
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("i"),
-        F.count("*").over(wall).alias("nn"),
+    # distributed rank over ALL events + broadcast total (round-4 audit)
+    n_all = ev.agg(F.count("*").alias("nn"))
+    ranked = (
+        attach_rank(
+            ev.select("value", "event_id"),
+            [F.col("value").asc(), F.col("event_id").asc()],
+            rank_col="i",
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(F.col("value").alias("x"), "i", "nn")
     )
     ns = ev.sparkSession.createDataFrame(
         [(1,), (2,), (4,), (8,), (16,)], "n int"

@@ -110,15 +110,13 @@ def _tfn_frames(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("s"))
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = score.select(
-        "doc_id",
-        "s",
-        F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")).alias("r"),
-        F.count("*").over(wall).alias("nr"),
-    )
+    # distributed rank over the scored docs + broadcast total
+    # (round-4 window audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        score, [F.desc("s"), F.asc("doc_id")], rank_col="r"
+    ).crossJoin(F.broadcast(score.agg(F.count("*").alias("nr"))))
     return d, tfn, ranked
 
 
@@ -199,15 +197,14 @@ _ERR_SQL = f"""
 @register("err_ranking_docs", _ERR_SQL)
 def err_ranking_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, tfn, ranked = _tfn_frames(spark, sf_dir)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    nchars = d.select(
-        "doc_id",
-        "n_chars",
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn"),
-        F.count("*").over(wall).alias("nn"),
-    )
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    # distributed rank over ALL documents (round-4 window audit)
+    nchars = attach_rank(
+        d.select("doc_id", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        rank_col="rn",
+    ).crossJoin(F.broadcast(d.agg(F.count("*").alias("nn"))))
     cuts = nchars.agg(
         *[
             F.max(

@@ -67,14 +67,20 @@ _AUCTION_SQL = """
 
 @register("auction_order_stats_events", _AUCTION_SQL)
 def auction_order_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lnex_spark.operators.scalable_windows import attach_rank
+
     ev = _t(spark, sf_dir, "events")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ev.select(
-        F.col("value").alias("x"),
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("i"),
-        F.count("*").over(wall).alias("nn"),
+    # distributed rank over ALL events + broadcast total (round-4
+    # window audit: no single-partition window over raw rows)
+    n_all = ev.agg(F.count("*").alias("nn"))
+    ranked = (
+        attach_rank(
+            ev.select("value", "event_id"),
+            [F.col("value").asc(), F.col("event_id").asc()],
+            rank_col="i",
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(F.col("value").alias("x"), "i", "nn")
     )
     ns = ev.sparkSession.createDataFrame([(2,), (5,), (10,)], "n int")
     fi = F.col("i").cast("double") / F.col("nn")

@@ -158,8 +158,14 @@ def gains_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 / (1.0 + F.exp(-(F.col("n_chars") - 400) / 150.0))).alias("p"),
         (F.col("lang") == "en").cast("int").alias("y"),
     )
-    deciled = scored.select(
-        "y", F.ntile(10).over(Window.orderBy(F.desc("p"), F.col("doc_id"))).alias("decile")
+    # distributed NTILE over ALL documents (round-4 window audit):
+    # global rank + arithmetic tiling against the broadcast total
+    from lnex_spark.operators.scalable_windows import attach_rank, ntile_expr
+
+    deciled = (
+        attach_rank(scored, [F.desc("p"), F.asc("doc_id")], rank_col="_rn")
+        .crossJoin(F.broadcast(scored.agg(F.count("*").alias("_nt"))))
+        .select("y", ntile_expr("_rn", F.col("_nt"), 10).alias("decile"))
     )
     per_dec = deciled.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("y").alias("n_pos")

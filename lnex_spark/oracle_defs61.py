@@ -98,12 +98,13 @@ def conformal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(model, "event_type")
         .select(F.abs(F.col("value") - F.col("mu")).alias("resid"), "event_id")
     )
-    w = Window.orderBy("resid", "event_id")
-    ranked = calib.select(
-        "resid",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    # distributed rank over the calibration EVENTS (raw scale) +
+    # broadcast total — round-4 window audit
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        calib, [F.col("resid").asc(), F.col("event_id").asc()], rank_col="rk"
+    ).crossJoin(F.broadcast(calib.agg(F.count("*").alias("n"))))
     q = ranked.filter(F.col("rk") == F.ceil(0.9 * F.col("n")).cast("long")).select(
         F.col("resid").alias("q90")
     )

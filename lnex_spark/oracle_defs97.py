@@ -178,34 +178,69 @@ def energy_distance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 0).otherwise(1).alias("side"),
         "doc_id",
     )
-    # one global sort — bounded here; at corpus scale the same sums
-    # come from a bucketed two-pass (cf. operators/quantiles.py)
-    w = Window.orderBy("v", "side", "doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ws = Window.partitionBy("side").orderBy("v", "doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    wrk = Window.partitionBy("side").orderBy("v", "doc_id")
-    runs = u.select(
+    # Distributed form (round-4 window audit — the original global
+    # sort windows ran over every en/de document).  Two attach passes:
+    #   pass 1, ORDER BY (v, side, doc_id): the four cross-side
+    #     EXCLUSIVE running sums, derived from inclusive prefix sums
+    #     minus the current row's own contribution;
+    #   pass 2, ORDER BY (side, v, doc_id): per-side rank and
+    #     exclusive running value sum, via global rank/cumsum minus
+    #     per-side offsets from a 2-row totals table (the per-side
+    #     window would otherwise be two corpus-half partitions).
+    # Joined back on the unique doc_id.
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    is0 = F.when(F.col("side") == 0, 1).otherwise(0)
+    v0 = F.when(F.col("side") == 0, F.col("v")).otherwise(0)
+    is1 = F.when(F.col("side") == 1, 1).otherwise(0)
+    v1 = F.when(F.col("side") == 1, F.col("v")).otherwise(0)
+    p1 = attach_rank(
+        u,
+        [F.col("v").asc(), F.col("side").asc(), F.col("doc_id").asc()],
+        rank_col="_rn1",
+        cumsums=[(is0, "c0i"), (v0, "s0i"), (is1, "c1i"), (v1, "s1i")],
+    ).select(
+        "doc_id",
         "v",
         "side",
-        F.coalesce(
-            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).over(w), F.lit(0)
-        ).alias("cx"),
-        F.coalesce(
-            F.sum(F.when(F.col("side") == 0, F.col("v")).otherwise(0)).over(w),
-            F.lit(0),
-        ).alias("sx"),
-        F.coalesce(
-            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).over(w), F.lit(0)
-        ).alias("cy"),
-        F.coalesce(
-            F.sum(F.when(F.col("side") == 1, F.col("v")).otherwise(0)).over(w),
-            F.lit(0),
-        ).alias("sy"),
-        F.row_number().over(wrk).alias("rk_side"),
-        F.coalesce(F.sum("v").over(ws), F.lit(0)).alias("s_side"),
+        (F.col("c0i") - is0).alias("cx"),
+        (F.col("s0i") - v0).alias("sx"),
+        (F.col("c1i") - is1).alias("cy"),
+        (F.col("s1i") - v1).alias("sy"),
+    )
+    p2 = attach_rank(
+        u,
+        [F.col("side").asc(), F.col("v").asc(), F.col("doc_id").asc()],
+        rank_col="grn",
+        cumsum_of="v",
+        cumsum_col="vcum",
+    )
+    side_off = (
+        p2.groupBy("side")
+        .agg(F.count("*").alias("_n"), F.sum("v").alias("_s"))
+        .select(
+            "side",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("side").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("rows_before"),
+            F.coalesce(
+                F.sum("_s").over(
+                    Window.orderBy("side").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("v_before"),
+        )  # one row per side (2) — bounded
+    )
+    p2 = p2.join(F.broadcast(side_off), "side").select(
+        "doc_id",
+        (F.col("grn") - F.col("rows_before")).cast("int").alias("rk_side"),
+        (F.col("vcum") - F.col("v") - F.col("v_before")).alias("s_side"),
+    )
+    runs = p1.join(p2, "doc_id").select(
+        "v", "side", "cx", "sx", "cy", "sy", "rk_side", "s_side"
     )
     sums = runs.agg(
         (
