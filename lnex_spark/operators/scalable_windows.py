@@ -8,32 +8,172 @@ over anything row-proportional.  This module is the engine-wide scale
 path, the windowed-rank generalization of
 operators/quantiles.bucketed_exact_quantile:
 
-  1. ``repartitionByRange`` on the ordering columns — each partition
-     holds one contiguous slice of the global order (RangePartitioner
-     assigns ascending ranges to ascending partition ids);
-  2. rank / running-sum WITHIN each partition (a partitioned window —
+  1. assign each row an order-aligned BUCKET — computed as a pure
+     function of the row against driver-collected splitter literals
+     (a deterministic hash-sample of the ordering key, one cheap
+     column-pruned job per call);
+  2. rank / running-sum WITHIN each bucket (a partitioned window —
      parallel, spill-safe);
-  3. per-partition row counts / value sums (one tiny agg, ≤ n_parts
+  3. per-bucket row counts / value sums (one tiny agg, ≤ n_parts
      rows) prefix-summed with a global window that is bounded by the
-     PARTITION COUNT, not the row count, then broadcast back as
-     offsets.
+     BUCKET COUNT, not the row count, then broadcast back as offsets.
+
+Why not ``repartitionByRange`` + ``spark_partition_id()``: Spark's
+range exchange samples its boundaries NON-deterministically per
+execution (measured on 4.1: two collects over the same frame return
+different partition sizes), and the offsets subtree re-executes the
+exchange whenever ReuseExchange fails (e.g. divergent column pruning),
+silently joining offsets computed against DIFFERENT boundaries.  A
+bucket that is a function of the data cannot disagree between
+subtrees, whatever the physical partitioning does.
 
 The result is value-identical to the single-partition window for any
 total ordering (callers must fully specify order, same contract as
-before), at the cost of one extra range shuffle — which the global
-window needed anyway, except it shuffled to a single task.
+before).  Splitter quality only affects BALANCE, never values: with an
+empty/short sample everything lands in one bucket — correct, just not
+parallel, which is exactly the small-input case where one task is fine.
 """
 
 from __future__ import annotations
 
+import re
+from functools import cmp_to_key
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID = "__sw_pid"
+_BKT = "__sw_bucket"
 _INTRA_RN = "__sw_rn"
 _INTRA_CS = "__sw_cs"
 _ROWS_OFF = "__sw_row_off"
 _SUM_OFF = "__sw_sum_off"
+
+_SAMPLE_MOD = 64          # deterministic 1/64 hash-sample of the key
+_SAMPLE_CAP = 100_000     # driver-side cap on collected sample rows
+
+_ORDER_RE = re.compile(
+    r"^Column<'(.*?)(?: (ASC|DESC) NULLS (FIRST|LAST))?'>$", re.DOTALL
+)
+
+
+def _parse_order(order: list[Column | str]) -> list[tuple[Column, Column, bool]]:
+    """Normalize to [(plain_col, sort_expr, ascending)].
+
+    Accepts plain column names, plain Columns, and ``.asc()`` /
+    ``.desc()`` / ``F.desc(...)`` sort expressions with the DEFAULT
+    null placement (asc→NULLS FIRST, desc→NULLS LAST) — explicit
+    nulls_first/nulls_last overrides are rejected because the bucket
+    comparator must mirror the sort exactly.
+    """
+    out: list[tuple[Column, Column, bool]] = []
+    for o in order:
+        if isinstance(o, str):
+            out.append((F.col(o), F.col(o).asc(), True))
+            continue
+        m = _ORDER_RE.match(str(o))
+        if not m:
+            raise ValueError(f"cannot parse order expression {o}")
+        expr_sql, direction, nulls = m.group(1), m.group(2) or "ASC", m.group(3)
+        asc = direction == "ASC"
+        default_nulls = "FIRST" if asc else "LAST"
+        if nulls is not None and nulls != default_nulls:
+            raise ValueError(
+                f"non-default null ordering in {o} is not supported by "
+                "scalable_windows (bucket comparator assumes asc→NULLS "
+                "FIRST, desc→NULLS LAST)"
+            )
+        c = F.expr(expr_sql)
+        out.append((c, c.asc() if asc else c.desc(), asc))
+    return out
+
+
+def _collect_splitters(
+    df: DataFrame, keys: list[tuple[Column, Column, bool]], n_parts: int
+) -> list[tuple]:
+    """Driver-collect ≤ n_parts-1 splitter tuples from a deterministic
+    hash-sample of the ordering key.  Splitters only steer balance;
+    every choice (including none) yields correct results."""
+    proj = df.select(*[k.alias(f"_sw_k{i}") for i, (k, _, _) in enumerate(keys)])
+    h = F.xxhash64(*[F.col(f"_sw_k{i}") for i in range(len(keys))])
+    try:
+        samp = [
+            tuple(r)
+            for r in proj.filter(F.pmod(h, F.lit(_SAMPLE_MOD)) == 0)
+            .limit(_SAMPLE_CAP)
+            .collect()
+        ]
+    except Exception:
+        # Under ANSI mode Catalyst may push the hash filter into a join
+        # ahead of the join's own guarding condition, evaluating a
+        # caller expression (e.g. a division) on rows the guard would
+        # have excluded.  Fall back to a head sample — splitters only
+        # steer balance, any set is correct.
+        samp = []
+    if len(samp) < 4 * n_parts:
+        # small input (or filter fallback): sample the head instead —
+        # the content of limit() is arbitrary but ANY splitter set is
+        # correct, and the head-limit never evaluates guarded
+        # expressions on excluded rows
+        samp = [tuple(r) for r in proj.limit(_SAMPLE_CAP).collect()]
+    if not samp:
+        return []
+    dirs = [asc for _, _, asc in keys]
+
+    def cmp(a: tuple, b: tuple) -> int:
+        for x, y, asc in zip(a, b, dirs):
+            if x is None and y is None:
+                continue
+            if x is None:
+                return -1 if asc else 1   # asc: NULLS FIRST
+            if y is None:
+                return 1 if asc else -1   # desc: NULLS LAST
+            if x < y:
+                return -1 if asc else 1
+            if x > y:
+                return 1 if asc else -1
+        return 0
+
+    samp.sort(key=cmp_to_key(cmp))
+    step = len(samp) / n_parts
+    picks = []
+    for i in range(1, n_parts):
+        t = samp[min(int(i * step), len(samp) - 1)]
+        if not picks or cmp(picks[-1], t) != 0:
+            picks.append(t)
+    return picks
+
+
+def _bucket_expr(
+    keys: list[tuple[Column, Column, bool]], splitters: list[tuple]
+) -> Column:
+    """bucket(row) = number of splitters ≤ row in sort order — a pure
+    row function, so every subtree computes identical buckets."""
+    if not splitters:
+        return F.lit(0)
+
+    def ge(b: tuple, i: int) -> Column:
+        # sort-order row >= b, comparing components i..end
+        if i == len(keys):
+            return F.lit(True)
+        col, _, asc = keys[i]
+        bv = b[i]
+        if bv is None:
+            # asc (nulls first): row >= null-component unless... every
+            # row is >= (null is minimal); desc (nulls last): only a
+            # null row is >= a null component
+            gt_i = col.isNotNull() if asc else F.lit(False)
+            eq_i = col.isNull()
+        else:
+            gt_i = (col.isNotNull() & (col > F.lit(bv))) if asc else (
+                col.isNull() | (col < F.lit(bv))
+            )
+            eq_i = col.eqNullSafe(F.lit(bv))
+        return gt_i | (eq_i & ge(b, i + 1))
+
+    out = F.lit(0)
+    for b in splitters:
+        out = out + ge(b, 0).cast("int")
+    return out
 
 
 def _order_exprs(order: list[Column | str]) -> list[Column]:
@@ -54,21 +194,33 @@ def attach_rank(
     partition.
 
     ``cumsums`` takes ``[(value_expr, out_col), ...]`` for several
-    running totals in ONE pass (one range shuffle, shared offsets
-    table); ``cumsum_of``/``cumsum_col`` remain as the single-sum
-    shorthand.  ``order`` must be a total order (include a tie-breaking
-    key) for the rank to be deterministic — identical to the contract
-    of the unpartitioned-window form this replaces.
+    running totals in ONE pass (one shuffle, shared offsets table);
+    ``cumsum_of``/``cumsum_col`` remain as the single-sum shorthand.
+    ``order`` must be a total order (include a tie-breaking key) for
+    the rank to be deterministic — identical to the contract of the
+    unpartitioned-window form this replaces.
+
+    NOTE: collects the splitter sample eagerly (one column-pruned job
+    per call) — same driver-scalar pattern as
+    quantiles.bucketed_exact_quantile.
     """
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     sums = list(cumsums or [])
     if cumsum_of is not None:
         sums.append((cumsum_of, cumsum_col))
-    oe = _order_exprs(order)
-    d = df.repartitionByRange(n_parts, *oe).withColumn(_PID, F.spark_partition_id())
+    keys = _parse_order(order)
+    sort_exprs = [s for _, s, _ in keys]
+    splitters = _collect_splitters(df, keys, n_parts)
+    # coalesce: the bucket can never be NULL by construction, but the
+    # downstream equi-join would otherwise infer isnotnull(bucket_expr)
+    # and push the caller's order expression (which may THROW under
+    # ANSI, e.g. a division guarded by a join condition) into earlier
+    # operators; isnotnull(coalesce(e, 0)) constant-folds away instead
+    d = df.withColumn(_BKT, F.coalesce(_bucket_expr(keys, splitters), F.lit(0)))
+    d = d.repartition(n_parts, F.col(_BKT))
 
-    intra = Window.partitionBy(_PID).orderBy(*oe)
+    intra = Window.partitionBy(_BKT).orderBy(*sort_exprs)
     run = intra.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn(_INTRA_RN, F.row_number().over(intra))
     aggs = [F.count(F.lit(1)).alias("_sw_n")]
@@ -77,10 +229,11 @@ def attach_rank(
         d = d.withColumn(f"{_INTRA_CS}{i}", F.sum(e).over(run))
         aggs.append(F.sum(e).alias(f"_sw_s{i}"))
 
-    # per-partition totals: ≤ n_parts rows — the ONLY global window
-    # left runs over this partition-count-bounded table
-    sizes = d.groupBy(_PID).agg(*aggs)
-    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # per-bucket totals: ≤ n_parts rows, keyed by the DATA-derived
+    # bucket id — the only global window left runs over this
+    # bucket-count-bounded table
+    sizes = d.groupBy(_BKT).agg(*aggs)
+    woff = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.withColumn(_ROWS_OFF, F.coalesce(F.sum("_sw_n").over(woff), F.lit(0)))
     drop_tmp = ["_sw_n"]
     for i in range(len(sums)):
@@ -90,10 +243,10 @@ def attach_rank(
         drop_tmp.append(f"_sw_s{i}")
     offs = offs.drop(*drop_tmp)
 
-    out = d.join(F.broadcast(offs), _PID).withColumn(
+    out = d.join(F.broadcast(offs), _BKT).withColumn(
         rank_col, (F.col(_INTRA_RN) + F.col(_ROWS_OFF)).cast("int")
     )
-    dropme = [_PID, _INTRA_RN, _ROWS_OFF]
+    dropme = [_BKT, _INTRA_RN, _ROWS_OFF]
     for i, (_, name) in enumerate(sums):
         out = out.withColumn(name, F.col(f"{_INTRA_CS}{i}") + F.col(f"{_SUM_OFF}{i}"))
         dropme += [f"{_INTRA_CS}{i}", f"{_SUM_OFF}{i}"]
@@ -179,26 +332,34 @@ def attach_running_extremum(
     n_parts: int | None = None,
 ) -> DataFrame:
     """Distributed running max/min of ``value_col`` under ``ORDER BY
-    order``: per-partition running extremum combined with the extremum
-    of all preceding partitions (offsets table, ≤ n_parts rows)."""
+    order``: per-bucket running extremum combined with the extremum of
+    all preceding buckets (offsets table, ≤ n_parts rows)."""
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    oe = _order_exprs(order)
     agg = F.max if kind == "max" else F.min
     comb = F.greatest if kind == "max" else F.least
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    d = df.repartitionByRange(n_parts, *oe).withColumn(_PID, F.spark_partition_id())
-    intra = Window.partitionBy(_PID).orderBy(*oe).rowsBetween(
+    keys = _parse_order(order)
+    sort_exprs = [s for _, s, _ in keys]
+    splitters = _collect_splitters(df, keys, n_parts)
+    # coalesce: the bucket can never be NULL by construction, but the
+    # downstream equi-join would otherwise infer isnotnull(bucket_expr)
+    # and push the caller's order expression (which may THROW under
+    # ANSI, e.g. a division guarded by a join condition) into earlier
+    # operators; isnotnull(coalesce(e, 0)) constant-folds away instead
+    d = df.withColumn(_BKT, F.coalesce(_bucket_expr(keys, splitters), F.lit(0)))
+    d = d.repartition(n_parts, F.col(_BKT))
+    intra = Window.partitionBy(_BKT).orderBy(*sort_exprs).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     d = d.withColumn("__sw_rx", agg(v).over(intra))
-    sizes = d.groupBy(_PID).agg(agg(v).alias("__sw_px"))
-    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    sizes = d.groupBy(_BKT).agg(agg(v).alias("__sw_px"))
+    woff = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.withColumn("__sw_po", agg("__sw_px").over(woff)).drop("__sw_px")
     return (
-        d.join(F.broadcast(offs), _PID)
+        d.join(F.broadcast(offs), _BKT)
         .withColumn(out_col, comb(F.col("__sw_rx"), F.col("__sw_po")))
-        .drop(_PID, "__sw_rx", "__sw_po")
+        .drop(_BKT, "__sw_rx", "__sw_po")
     )
 
 

@@ -140,18 +140,15 @@ def quant_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_quant"),
         )
     )
-    ra = scored.select(
-        "vec_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("s_exact"), F.asc("vec_id")))
-        .alias("rk_a"),
-    )
-    rb = scored.select(
-        F.col("vec_id").alias("vb"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("s_quant"), F.asc("vec_id")))
-        .alias("rk_b"),
-    )
+    # two distributed ranks over the embedding corpus (round-4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ra = attach_rank(
+        scored, [F.desc("s_exact"), F.asc("vec_id")], rank_col="rk_a"
+    ).select("vec_id", "rk_a")
+    rb = attach_rank(
+        scored, [F.desc("s_quant"), F.asc("vec_id")], rank_col="rk_b"
+    ).select(F.col("vec_id").alias("vb"), "rk_b")
     depths = spark.range(1, _RBO_D + 1).select(F.col("id").cast("int").alias("d"))
     overlaps = (
         depths.join(ra, ra["rk_a"] <= depths["d"])

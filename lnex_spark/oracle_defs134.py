@@ -114,14 +114,23 @@ def littles_law_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sessions.select(
         F.col("t0").alias("t"), F.lit(1).alias("d")
     ).unionAll(sessions.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
-    # boundary-sized global window (2 x n_sessions rows, bounded)
-    ws = Window.orderBy("t", "d")
-    sweep = deltas.select(
-        "t",
-        F.sum("d").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "conc"
-        ),
-        F.lead("t").over(ws).alias("nxt"),
+    # the boundary table is 2 x n_sessions rows — session count is
+    # raw-scale, so the sweep uses the distributed prefix sum + a
+    # rank self-join for the lead (round-4 window audit).  (t, d)
+    # ties only permute rows whose lead gap is zero, so the area
+    # integral is invariant to the tie-break.
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    sw = attach_rank(
+        deltas,
+        [F.col("t").asc(), F.col("d").asc()],
+        rank_col="_rn",
+        cumsum_of="d",
+        cumsum_col="conc",
+    )
+    nxt = sw.select((F.col("_rn") - 1).alias("_rno"), F.col("t").alias("nxt"))
+    sweep = sw.join(nxt, sw["_rn"] == nxt["_rno"], "left").select(
+        "t", "conc", "nxt"
     )
     integral = sweep.filter(F.col("nxt").isNotNull()).agg(
         F.sum(F.col("conc") * (F.col("nxt") - F.col("t"))).alias("area")

@@ -113,7 +113,8 @@ _LINDLEY_SQL = """
     r AS (SELECT 1.2 * total / dur AS r FROM span),
     s AS (
       SELECT t, event_id,
-             SUM(c) OVER (ORDER BY t, event_id) - (SELECT r FROM r) * t
+             CAST(SUM(CAST(c AS DECIMAL(18,4))) OVER (ORDER BY t, event_id)
+                  AS DOUBLE) - (SELECT r FROM r) * t
                AS s
       FROM base
     ),
@@ -142,13 +143,31 @@ def lindley_backlog_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c"), 2).alias("total"),
         (F.max("t") - F.min("t")).alias("dur"),
     ).select((1.2 * F.col("total") / F.col("dur")).alias("r"))
-    w = Window.orderBy("t", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    # distributed prefix sum + running min over ALL events (r4 audit)
+    from lnex_spark.operators.scalable_windows import (
+        attach_rank,
+        attach_running_extremum,
     )
-    s = base.crossJoin(F.broadcast(span)).withColumn(
-        "s", F.sum("c").over(w) - F.col("r") * F.col("t")
+
+    order = [F.col("t").asc(), F.col("event_id").asc()]
+    s = (
+        attach_rank(
+            base.crossJoin(F.broadcast(span)),
+            order,
+            rank_col="_rn",
+            # DECIMAL prefix sum: stored values sit on the 4-decimal
+            # grid, so the decimal cumsum is exact and order-
+            # independent — the distributed partial-sum order cannot
+            # shift a rounded cent (cf. the q7/q10 money idiom)
+            cumsum_of=F.col("c").cast("decimal(18,4)"),
+            cumsum_col="_cumc",
+        )
+        .withColumn("s", F.col("_cumc").cast("double") - F.col("r") * F.col("t"))
+        .drop("_rn", "_cumc")
     )
-    q = s.withColumn("q", F.col("s") - F.min("s").over(w))
+    q = attach_running_extremum(s, order, "s", out_col="_mins", kind="min").withColumn(
+        "q", F.col("s") - F.col("_mins")
+    )
     return q.agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.max("r"), 6).alias("drain_rate"),

@@ -169,13 +169,19 @@ def sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    wo = Window.orderBy("ts", "event_id")
-    llr = obs.select(
-        F.row_number().over(wo).alias("i"),
-        F.sum(F.col("x") * _LW + (1 - F.col("x")) * _LL)
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("l"),
-    )
+    # distributed rank + prefix LLR over all click/view events
+    # (round-4 window audit).  The per-step term is one of two
+    # constants, so the prefix sum is c1*k + c2*(i-k) up to float
+    # association — crossings sit far from the ulp scale.
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    llr = attach_rank(
+        obs,
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        rank_col="i",
+        cumsum_of=F.col("x") * _LW + (1 - F.col("x")) * _LL,
+        cumsum_col="l",
+    ).select("i", "l")
     n = llr.agg(F.count("*").alias("n"))
     final = llr.orderBy(F.desc("i")).limit(1).select(
         F.col("l").alias("final_llr")

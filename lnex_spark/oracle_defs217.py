@@ -109,20 +109,22 @@ def rate_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = k1 + k2
     p = t1 / (t1 + t2)
     js = ev.sparkSession.range(0, k + 1).select(F.col("id").alias("j"))
-    wc = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
-    lnc = js.select(
-        "j",
-        F.sum(
-            F.when(F.col("j") == 0, 0.0).otherwise(
-                F.log(
-                    (F.lit(k) - F.col("j") + 1).cast("double")
-                    / F.when(F.col("j") != 0, F.col("j"))
-                )
+    # the support table has k+1 rows (k = total error count — raw
+    # scale): distributed prefix sum of the log terms (round-4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    lnc = attach_rank(
+        js,
+        [F.col("j").asc()],
+        rank_col="_rn",
+        cumsum_of=F.when(F.col("j") == 0, 0.0).otherwise(
+            F.log(
+                (F.lit(k) - F.col("j") + 1).cast("double")
+                / F.when(F.col("j") != 0, F.col("j"))
             )
-        )
-        .over(wc)
-        .alias("lnck"),
-    )
+        ),
+        cumsum_col="lnck",
+    ).select("j", "lnck")
     import math
 
     pmf = lnc.select(

@@ -82,14 +82,15 @@ def price_dispersion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 5)
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_part.select(
-        "cv",
-        F.row_number().over(Window.orderBy("cv", "l_partkey")).alias("rn"),
-        F.count("*").over(wall).alias("nn"),
-    )
+    # per-PART table is raw-scale: distributed rank + broadcast total
+    # (round-4 window audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        per_part,
+        [F.col("cv").asc(), F.col("l_partkey").asc()],
+        rank_col="rn",
+    ).crossJoin(F.broadcast(per_part.agg(F.count("*").alias("nn"))))
     return ranked.agg(
         F.max("nn").cast("long").alias("n_parts"),
         F.round(F.avg("cv"), 6).alias("mean_cv"),

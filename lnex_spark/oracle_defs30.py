@@ -121,8 +121,12 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "events").select(
         "value", (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("in_a")
     )
-    ranked = s.filter("in_a").select(
-        "value", F.row_number().over(Window.orderBy("value")).alias("rn")
+    # distributed rank over the baseline events (raw-scale) —
+    # round-4 window audit; value ties share the same decile value
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        s.filter("in_a").select("value"), [F.col("value").asc()], rank_col="rn"
     )
     na = ranked.agg(F.count("*").alias("n"))
     ks = spark.range(1, 10).select(F.col("id").alias("k"))

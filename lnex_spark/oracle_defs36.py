@@ -86,11 +86,13 @@ def sorted_neighborhood_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "norm",
         F.substring("norm", 1, 24).alias("sk"),
-    ).select(
-        "doc_id",
-        "norm",
-        F.row_number().over(Window.orderBy("sk", "doc_id")).alias("rn"),
     )
+    # distributed sort-key rank over ALL documents (round-4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    keyed = attach_rank(
+        keyed, [F.col("sk").asc(), F.col("doc_id").asc()], rank_col="rn"
+    ).select("doc_id", "norm", "rn")
     a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("rn").alias("ra"))
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("rn").alias("rb"))
     cand = a.join(
@@ -242,18 +244,26 @@ def rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return agg.select(
+    # three distributed NTILEs over the per-USER table (raw scale at
+    # 100 TB): global rank + arithmetic tiling (round-4 window audit)
+    from lnex_spark.operators.scalable_windows import attach_rank, ntile_expr
+
+    nt = F.broadcast(agg.agg(F.count("*").alias("_nt")))
+    r1 = attach_rank(
+        agg, [F.col("recency_days").desc(), F.col("user_id").asc()], rank_col="_r1"
+    )
+    r2 = attach_rank(
+        r1, [F.col("frequency").asc(), F.col("user_id").asc()], rank_col="_r2"
+    )
+    r3 = attach_rank(
+        r2, [F.col("monetary").asc(), F.col("user_id").asc()], rank_col="_r3"
+    )
+    return r3.crossJoin(nt).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").asc(), F.col("user_id")))
-        .alias("m_score"),
+        ntile_expr("_r1", F.col("_nt"), 5).alias("r_score"),
+        ntile_expr("_r2", F.col("_nt"), 5).alias("f_score"),
+        ntile_expr("_r3", F.col("_nt"), 5).alias("m_score"),
     )

@@ -183,12 +183,15 @@ def theilsen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ta",
         "tb",
     )
-    w = Window.orderBy("slope", "ta", "tb")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    # day-pair count grows quadratically with the span: distributed
+    # rank + broadcast total (round-4 window audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        slopes,
+        [F.col("slope").asc(), F.col("ta").asc(), F.col("tb").asc()],
+        rank_col="rk",
+    ).crossJoin(F.broadcast(slopes.agg(F.count("*").alias("n"))))
     return ranked.filter(F.col("rk") == F.ceil(F.col("n") / 2.0).cast("long")).agg(
         F.round(F.min("slope"), 6).alias("theilsen_slope"),
         F.min("n").alias("n_pairs"),

@@ -89,8 +89,12 @@ def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("tok") > 0
     )
     tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = tf.select("c", F.row_number().over(w).alias("r"))
+    # distributed rank over the vocab (Heaps-law unbounded) — r4 audit
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        tf, [F.desc("c"), F.asc("tok")], rank_col="r"
+    ).select("c", "r")
     lr, lc = F.log(F.col("r").cast("double")), F.log(F.col("c").cast("double"))
     return ranked.agg(
         F.round(F.covar_pop(lr, lc) / F.var_pop(lr), 6).alias("zipf_slope"),
@@ -129,13 +133,20 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_b"),
     )
     n = s.agg(F.sum("is_a").alias("na"), F.sum("is_b").alias("nb"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e = s.select(
-        "value",
-        F.sum("is_a").over(w).alias("ca"),
-        F.sum("is_b").over(w).alias("cb"),
+    # per-VALUE cumulative counts via aggregate + distributed prefix
+    # sum (r4 audit): the old per-row global window + max-per-value
+    # collapse computed exactly the value-level inclusive cumulative
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    vc = s.groupBy("value").agg(
+        F.sum("is_a").alias("a"), F.sum("is_b").alias("b")
     )
-    g = e.groupBy("value").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    g = attach_rank(
+        vc,
+        [F.col("value").asc()],
+        rank_col="_rn",
+        cumsums=[(F.col("a"), "ca"), (F.col("b"), "cb")],
+    ).select("value", "ca", "cb")
     return g.crossJoin(F.broadcast(n)).agg(
         F.round(
             F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))), 6

@@ -67,17 +67,20 @@ def negsample_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sm = cnt.select("tok", "c", F.pow(F.col("c") * 1.0, 0.75).alias("w"))
     tot = sm.agg(F.sum("w").alias("z"))
-    # vocabulary-sized global window (31 closed types here; vocab-bounded
-    # in general — the same bounded-window argument as the Zipf/KS ops)
-    w_ord = Window.orderBy(F.desc("w"), F.asc("tok"))
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = sm.crossJoin(tot).select(
-        "tok",
-        "c",
-        (F.col("w") / F.col("z")).alias("p"),
-        F.row_number().over(w_ord).alias("rk"),
-        F.sum(F.col("w") / F.col("z")).over(w_cum).alias("cum_hi"),
-    )
+    # vocabulary-sized ranking — Heaps-law unbounded, so distributed
+    # rank + prefix sum (round-4 window audit).  The emitted rows
+    # (rk <= 10) all sit in the first bucket, whose running sum is the
+    # same sequential left-to-right addition as the global window's —
+    # bit-identical doubles.
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        sm.crossJoin(tot).withColumn("p", F.col("w") / F.col("z")),
+        [F.desc("w"), F.asc("tok")],
+        rank_col="rk",
+        cumsum_of=F.col("w") / F.col("z"),
+        cumsum_col="cum_hi",
+    ).select("tok", "c", "p", "rk", "cum_hi")
     return ranked.filter(F.col("rk") <= 10).select(
         "rk",
         "tok",

@@ -59,16 +59,30 @@ def test_running_sum_desc_order(vals):
 
 
 def test_no_single_partition_exchange_in_plan(vals):
-    """The scale contract itself: the plan must contain NO
-    Exchange SinglePartition feeding a row-scale window — only the
-    partition-count-bounded offsets table may pass through one."""
+    """The scale contract itself: the data path must go through a
+    hash exchange on the data-derived bucket id, never a
+    single-partition exchange; only the bucket-count-bounded offsets
+    table may pass through one."""
     order = [F.col("v").asc(), F.col("k").asc()]
     out = attach_rank(vals, order, rank_col="rn")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the offsets subtree aggregates to <= n_parts rows before its
-    # single-partition window; the DATA path must go through a range
-    # exchange instead
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(__sw_bucket" in plan
+
+
+def test_rank_deterministic_across_runs(vals):
+    """Regression for the round-4 bug class: Spark's range-exchange
+    sampling is nondeterministic per execution, so partition-id-based
+    offsets could disagree between the data and offsets subtrees.
+    Buckets are now a pure function of the data — repeated runs and a
+    crossJoin-bearing input must give identical ranks."""
+    one = vals.agg(F.count("*").alias("_n"))
+    d = vals.crossJoin(F.broadcast(one))
+    order = [F.col("v").asc(), F.col("k").asc()]
+    runs = [
+        _canon(attach_rank(d, order, rank_col="rn"), ["id", "rn"])
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
 
 
 def test_empty_input(spark):
