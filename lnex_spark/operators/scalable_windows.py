@@ -377,3 +377,87 @@ def ntile_expr(rank_col: str, total: Column, k: int) -> Column:
         .cast("long")
         + 1
     ).cast("int")
+
+
+def attach_edge_values(
+    df: DataFrame,
+    order: list[Column | str],
+    specs: list[tuple[Column, str, str]],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed ``last_value IGNORE NULLS ... 1 PRECEDING`` /
+    ``first_value IGNORE NULLS 1 FOLLOWING ...`` under a GLOBAL order.
+
+    ``specs`` is ``[(value_expr, out_col, 'prev'|'next'), ...]`` — all
+    computed in one bucket pass: within-bucket edge value via a
+    partitioned window, cross-bucket carry from a bucket-count-bounded
+    edge table (per-bucket last/first non-null via max_by/min_by over
+    the sort key), combined with coalesce.
+
+    Restricted to pure-ASCENDING orders (the per-bucket max_by/min_by
+    key is a struct, which compares ascending field-wise)."""
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = _parse_order(order)
+    if not all(asc for _, _, asc in keys):
+        raise ValueError("attach_edge_values supports ascending orders only")
+    sort_exprs = [s for _, s, _ in keys]
+    skey = F.struct(*[k for k, _, _ in keys])
+    splitters = _collect_splitters(df, keys, n_parts)
+    d = df.withColumn(_BKT, F.coalesce(_bucket_expr(keys, splitters), F.lit(0)))
+    d = d.repartition(n_parts, F.col(_BKT))
+    intra = Window.partitionBy(_BKT).orderBy(*sort_exprs)
+
+    edge_aggs = []
+    for i, (v, _, kind) in enumerate(specs):
+        d = d.withColumn(f"__sw_v{i}", v)
+        if kind == "prev":
+            d = d.withColumn(
+                f"__sw_e{i}",
+                F.last(f"__sw_v{i}", ignorenulls=True).over(
+                    intra.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            edge_aggs.append(
+                F.max_by(
+                    f"__sw_v{i}", F.when(F.col(f"__sw_v{i}").isNotNull(), skey)
+                ).alias(f"__sw_b{i}")
+            )
+        elif kind == "next":
+            d = d.withColumn(
+                f"__sw_e{i}",
+                F.first(f"__sw_v{i}", ignorenulls=True).over(
+                    intra.rowsBetween(1, Window.unboundedFollowing)
+                ),
+            )
+            edge_aggs.append(
+                F.min_by(
+                    f"__sw_v{i}", F.when(F.col(f"__sw_v{i}").isNotNull(), skey)
+                ).alias(f"__sw_b{i}")
+            )
+        else:
+            raise ValueError(f"bad edge kind {kind!r}")
+
+    # one row per bucket: its last/first non-null value per spec
+    edges = d.groupBy(_BKT).agg(*edge_aggs)
+    for i, (_, _, kind) in enumerate(specs):
+        if kind == "prev":
+            w = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+            edges = edges.withColumn(
+                f"__sw_c{i}", F.last(f"__sw_b{i}", ignorenulls=True).over(w)
+            )
+        else:
+            w = Window.orderBy(_BKT).rowsBetween(1, Window.unboundedFollowing)
+            edges = edges.withColumn(
+                f"__sw_c{i}", F.first(f"__sw_b{i}", ignorenulls=True).over(w)
+            )
+    edges = edges.select(_BKT, *[F.col(f"__sw_c{i}") for i in range(len(specs))])
+
+    out = d.join(F.broadcast(edges), _BKT)
+    dropme = [_BKT]
+    for i, (_, name, _) in enumerate(specs):
+        out = out.withColumn(
+            name, F.coalesce(F.col(f"__sw_e{i}"), F.col(f"__sw_c{i}"))
+        )
+        dropme += [f"__sw_v{i}", f"__sw_e{i}", f"__sw_c{i}"]
+    return out.drop(*dropme)

@@ -173,16 +173,22 @@ def abc_analysis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # customer-count-sized global ranking window — at warehouse scale
     # this is the two-pass bucketed selection of operators/quantiles.py
-    wc = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        "o_custkey",
-        "cents",
-        F.sum("cents").over(wc).alias("cum"),
-        F.sum("cents").over(wall).alias("total"),
-        F.count("*").over(wall).alias("n_cust"),
+    # distributed integer prefix sum over the per-CUSTOMER table
+    # (round-4 window audit) + broadcast totals — exact long arithmetic
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        rank_col="_rn",
+        cumsum_of="cents",
+        cumsum_col="cum",
+    ).crossJoin(
+        F.broadcast(
+            cust.agg(
+                F.sum("cents").alias("total"), F.count("*").alias("n_cust")
+            )
+        )
     )
     classed = ranked.select(
         "cents",

@@ -43,10 +43,10 @@ _SPT_SQL = """
             = (SELECT MAX(date_trunc('month', o_orderdate)) FROM orders)
     ),
     fifo AS (
-      SELECT w, SUM(p) OVER (ORDER BY o_orderkey) AS c FROM jobs
+      SELECT w, CAST(SUM(CAST(p AS DECIMAL(18,4))) OVER (ORDER BY o_orderkey) AS DOUBLE) AS c FROM jobs
     ),
     spt AS (
-      SELECT w, SUM(p) OVER (ORDER BY p, o_orderkey) AS c FROM jobs
+      SELECT w, CAST(SUM(CAST(p AS DECIMAL(18,4))) OVER (ORDER BY p, o_orderkey) AS DOUBLE) AS c FROM jobs
     )
     SELECT * FROM (
       SELECT 'fifo' AS rule, CAST(COUNT(*) AS BIGINT) AS n,
@@ -76,12 +76,20 @@ def spt_schedule_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (6 - F.substring("o_orderpriority", 1, 1).cast("int")).alias("w"),
         )
     )
-    wf = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
-    ws = Window.orderBy("p", "o_orderkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    fifo = jobs.select("w", F.sum("p").over(wf).alias("c"))
-    spt = jobs.select("w", F.sum("p").over(ws).alias("c"))
+    # distributed prefix sums over the month's orders (r4 audit);
+    # DECIMAL cumsum on BOTH sides so the completion times are exact
+    # cents, independent of partial-sum order
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    pdec = F.col("p").cast("decimal(18,4)")
+    fifo = attach_rank(
+        jobs, [F.col("o_orderkey").asc()], rank_col="_rn",
+        cumsum_of=pdec, cumsum_col="_c",
+    ).select("w", F.col("_c").cast("double").alias("c"))
+    spt = attach_rank(
+        jobs, [F.col("p").asc(), F.col("o_orderkey").asc()], rank_col="_rn",
+        cumsum_of=pdec, cumsum_col="_c",
+    ).select("w", F.col("_c").cast("double").alias("c"))
 
     def summarize(df: DataFrame, rule: str) -> DataFrame:
         return df.agg(

@@ -159,7 +159,7 @@ _XYZ_SQL = """
     ),
     abc AS (
       SELECT l_partkey, r,
-             SUM(r) OVER (ORDER BY r DESC, l_partkey) / SUM(r) OVER ()
+             CAST(SUM(CAST(r AS DECIMAL(18,4))) OVER (ORDER BY r DESC, l_partkey) AS DOUBLE) / CAST(SUM(CAST(r AS DECIMAL(18,4))) OVER () AS DOUBLE)
                AS cumshare
       FROM rev
     ),
@@ -206,16 +206,28 @@ def xyz_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("r")
     )
-    wcum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    abc = rev.select(
-        "l_partkey",
-        "r",
-        (F.sum("r").over(wcum) / F.sum("r").over(wall)).alias("cumshare"),
+    # distributed prefix share over the per-PART table (r4 audit):
+    # r sits on the cent grid, so a DECIMAL cumsum on both sides keeps
+    # the A/B/C threshold comparison exact under any partial-sum order
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    tot = rev.agg(F.sum(F.col("r").cast("decimal(18,4)")).alias("_tot"))
+    abc = (
+        attach_rank(
+            rev,
+            [F.desc("r"), F.asc("l_partkey")],
+            rank_col="_rn",
+            cumsum_of=F.col("r").cast("decimal(18,4)"),
+            cumsum_col="_cum",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "r",
+            (F.col("_cum").cast("double") / F.col("_tot").cast("double")).alias(
+                "cumshare"
+            ),
+        )
     ).select(
         "l_partkey",
         "r",

@@ -79,13 +79,17 @@ _GPD_SQL = f"""
 @register("gpd_tail_events", _GPD_SQL)
 def gpd_tail_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ev.select(
-        F.col("value").alias("v"),
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("rn"),
-        F.count("*").over(wall).alias("nn"),
+    # distributed rank over ALL events + broadcast total (r4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = (
+        attach_rank(
+            ev.select("value", "event_id"),
+            [F.col("value").asc(), F.col("event_id").asc()],
+            rank_col="rn",
+        )
+        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("nn"))))
+        .select(F.col("value").alias("v"), "rn", "nn")
     )
     u = ranked.agg(
         F.max(
@@ -153,13 +157,17 @@ _MRL_SQL = f"""
 @register("mean_residual_life_events", _MRL_SQL)
 def mean_residual_life_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ev.select(
-        F.col("value").alias("v"),
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("rn"),
-        F.count("*").over(wall).alias("nn"),
+    # distributed rank over ALL events + broadcast total (r4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = (
+        attach_rank(
+            ev.select("value", "event_id"),
+            [F.col("value").asc(), F.col("event_id").asc()],
+            rank_col="rn",
+        )
+        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("nn"))))
+        .select(F.col("value").alias("v"), "rn", "nn")
     )
     qs = ev.sparkSession.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "q double"

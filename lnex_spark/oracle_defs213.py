@@ -76,15 +76,17 @@ def _cf_sql() -> str:
 @register("clustering_factor_orders", _cf_sql())
 def clustering_factor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # distributed rank per layout over ALL orders (r4 window audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
     placed = None
     for name, col in _LAYOUTS:
-        w = Window.orderBy(col, "o_orderkey")
-        p = o.select(
+        p = attach_rank(
+            o, [F.col(col).asc(), F.col("o_orderkey").asc()], rank_col="_rn"
+        ).select(
             F.lit(name).alias("layout"),
             "o_custkey",
-            F.floor((F.row_number().over(w) - 1) / _PAGE)
-            .cast("long")
-            .alias("page"),
+            F.floor((F.col("_rn") - 1) / _PAGE).cast("long").alias("page"),
         )
         placed = p if placed is None else placed.unionByName(p)
     per_cust = placed.groupBy("layout", "o_custkey").agg(
@@ -158,16 +160,14 @@ def _zm_sql() -> str:
 @register("zone_map_pruning_orders", _zm_sql())
 def zone_map_pruning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
-        F.count("*").over(wall).alias("nn"),
-    )
+    # distributed rank over ALL orders + broadcast total (r4 audit)
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    ranked = attach_rank(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="rn",
+    ).crossJoin(F.broadcast(o.agg(F.count("*").alias("nn"))))
     band = ranked.agg(
         F.max(
             F.when(

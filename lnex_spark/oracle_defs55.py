@@ -179,10 +179,17 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     tot = li.agg(F.sum("wt").alias("tw"))
-    w = Window.orderBy("price", "l_orderkey", "l_linenumber").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = li.select("price", F.sum("wt").over(w).alias("cw")).crossJoin(tot)
+    # distributed integer prefix sum over ALL lineitems (r4 audit) —
+    # exact, order-independent
+    from lnex_spark.operators.scalable_windows import attach_rank
+
+    cum = attach_rank(
+        li,
+        [F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="_rn",
+        cumsum_of="wt",
+        cumsum_col="cw",
+    ).select("price", "cw").crossJoin(tot)
     return cum.filter(F.col("cw") * 2 >= F.col("tw")).agg(
         F.round(F.min("price"), 6).alias("weighted_median"),
         F.min("tw").alias("total_weight"),

@@ -262,13 +262,52 @@ _BUCKET_SPARK = (
     ),
 )
 def psm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        _PSM_TEMPLATE.format(
-            bucket=_BUCKET_SPARK,
-            lv_prev=f"last_value({_CTRL_Y}) IGNORE NULLS",
-            lv_prev_s=f"last_value({_CTRL_S}) IGNORE NULLS",
-            fv_next=f"first_value({_CTRL_Y}) IGNORE NULLS",
-            fv_next_s=f"first_value({_CTRL_S}) IGNORE NULLS",
+    # The matching lanes ran last/first_value IGNORE NULLS windows over
+    # the whole per-USER table (raw scale) — converted in the round-4
+    # window audit to the distributed edge-value pass
+    # (scalable_windows.attach_edge_values); the rest reproduces the
+    # SQL template's arithmetic exactly.
+    from lnex_spark.operators.scalable_windows import attach_edge_values
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    users = ev.groupBy("user_id").agg(
+        F.avg(
+            F.when(F.col("ts").cast("date") < cutoff, F.col("value"))
+        ).alias("score"),
+        F.avg(
+            F.when(F.col("ts").cast("date") >= cutoff, F.col("value"))
+        ).alias("y"),
+    ).withColumn(
+        "treated",
+        F.when(F.expr(_BUCKET_SPARK) % 2 == 0, 0).otherwise(1),
+    )
+    valid = users.where(F.col("score").isNotNull() & F.col("y").isNotNull())
+    ctrl_y = F.when(F.col("treated") == 0, F.col("y"))
+    ctrl_s = F.when(F.col("treated") == 0, F.col("score"))
+    laned = attach_edge_values(
+        valid,
+        [F.col("score").asc(), F.col("user_id").asc()],
+        [
+            (ctrl_y, "prev_ctrl_y", "prev"),
+            (ctrl_s, "prev_ctrl_s", "prev"),
+            (ctrl_y, "next_ctrl_y", "next"),
+            (ctrl_s, "next_ctrl_s", "next"),
+        ],
+    )
+    matched = laned.where(F.col("treated") == 1).select(
+        "y",
+        F.when(F.col("prev_ctrl_s").isNull(), F.col("next_ctrl_y"))
+        .when(F.col("next_ctrl_s").isNull(), F.col("prev_ctrl_y"))
+        .when(
+            F.abs(F.col("score") - F.col("prev_ctrl_s"))
+            <= F.abs(F.col("next_ctrl_s") - F.col("score")),
+            F.col("prev_ctrl_y"),
         )
+        .otherwise(F.col("next_ctrl_y"))
+        .alias("ctrl_y"),
+    )
+    return matched.where(F.col("ctrl_y").isNotNull()).agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.avg(F.col("y") - F.col("ctrl_y")), 6).alias("att"),
     )

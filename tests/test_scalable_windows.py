@@ -156,3 +156,30 @@ def test_ntile_expr_matches_spark_ntile(vals):
             ["id", "t"],
         )
         assert got == want, f"k={k}"
+
+
+def test_edge_values_match_window_form(vals):
+    from lnex_spark.operators.scalable_windows import attach_edge_values
+
+    # value column with nulls: only even v's carry a value
+    d = vals.withColumn("val", F.when(F.col("v") % 2 == 0, F.col("v")))
+    order = [F.col("v").asc(), F.col("k").asc()]
+    w = Window.orderBy(*order)
+    want = _canon(
+        d.withColumn(
+            "prev", F.last("val", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1))
+        ).withColumn(
+            "nxt", F.first("val", ignorenulls=True).over(
+                w.rowsBetween(1, Window.unboundedFollowing))
+        ),
+        ["id", "prev", "nxt"],
+    )
+    got = _canon(
+        attach_edge_values(
+            d, order,
+            [(F.col("val"), "prev", "prev"), (F.col("val"), "nxt", "next")],
+        ),
+        ["id", "prev", "nxt"],
+    )
+    assert got == want
