@@ -184,13 +184,12 @@ def zone_map_pruning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     placed = None
     for name, col in _LAYOUTS:
-        w = Window.orderBy(col, "o_orderkey")
-        p = o.select(
+        p = attach_rank(
+            o, [F.col(col).asc(), F.col("o_orderkey").asc()], rank_col="_rn"
+        ).select(
             F.lit(name).alias("layout"),
             "o_totalprice",
-            F.floor((F.row_number().over(w) - 1) / _PAGE)
-            .cast("long")
-            .alias("page"),
+            F.floor((F.col("_rn") - 1) / _PAGE).cast("long").alias("page"),
         )
         placed = p if placed is None else placed.unionByName(p)
     zones = placed.groupBy("layout", "page").agg(

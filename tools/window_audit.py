@@ -91,8 +91,10 @@ def audit_plan(plan_str: str) -> list[dict]:
         is_global = any("Exchange SinglePartition" in t for _, t in sub[:6])
         if not is_global:
             continue
-        if "__sw_pid" in txt or any("__sw_pid" in t for _, t in sub[:4]):
-            findings.append({"class": "offsets", "window": txt[:160], "evidence": "scalable_windows offsets table"})
+        marker = ("__sw_pid", "__sw_bucket", "_sw_n", "_sw_s0", "__sw_b0", "__sw_px")
+        near = [txt] + [t for _, t in sub[:6]]
+        if any(m in t for m in marker for t in near):
+            findings.append({"class": "offsets", "window": txt[:160], "evidence": "scalable_windows bucket-offsets table"})
             continue
         # walk down for the nearest bounding node
         cls, ev = "raw", ""
