@@ -30,6 +30,11 @@ _HASH_SPACE = 1 << 16
 # (token-count invariant).  Change them only together.
 SEP = " <SEP> "
 CTX_PREV = 3  # previous turns included in a training context
+# chunk width for the skew-proof context window: a conversation's
+# turns are windowed per (conv_id, turn_idx div CTX_CHUNK) with a
+# CTX_PREV-row halo, so a hot conversation spreads over
+# n_turns/CTX_CHUNK tasks instead of pinning one (round 4)
+CTX_CHUNK = 4096
 PII_DIGIT_RUN = r"[0-9]{4,}"
 PII_DIGIT_TOKEN = "<NUM>"
 
@@ -406,51 +411,84 @@ def curate_transcripts(
         h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h_lo"),
         F.shiftrightunsigned(h, 32).alias("_h_hi"),
     )
-    # Every per-conversation decision is window-based, so the plan has
-    # exactly ONE pass over the scan output: the conv_id exchange
-    # computes the fingerprint / gate quantities AND the context
-    # running sum; a join-back design re-scans the text because column
-    # pruning makes the two consumers' exchange subtrees differ (no
-    # ReuseExchange).  Both window specs share the SAME
-    # (partitionBy, orderBy) — the per-conversation aggregates use an
-    # unbounded frame over the ordered spec rather than a bare
-    # partitionBy, so Catalyst fuses all four expressions into ONE
-    # WindowExec with one sort (a bare partitionBy spec gets its own
-    # WindowExec and a second 30M-row sort: measured +~10s at 16
-    # cores, 30M turns).
-    wc = (
-        Window.partitionBy("conv_id")
+    # SKEW-PROOF per-conversation plan (round 4).  The previous shape
+    # ran ONE fused conv_id-keyed WindowExec — clean, but a window
+    # partition is indivisible: a planted 20%-hot conversation (the
+    # transcripts north-rule skew model) pins 20% of the corpus to a
+    # single task.  Measured at 30M turns / 16 pinned cores, that one
+    # task alone ran ~20s while fifteen cores idled — the window stage
+    # scaled at 0.43 (4→16) while a width-matched SYNTHETIC (uniform
+    # conversations) null probe of the same window shape scaled at
+    # 1.00, proving the ceiling was the hot key, not the host.  The
+    # rewrite splits the conversation axis:
+    #
+    #   1. context window runs per (conv_id, CHUNK) — chunk =
+    #      turn_idx div CTX_CHUNK — with each chunk's last CTX_PREV
+    #      rows duplicated into the next chunk as halo rows (dropped
+    #      after the window), so the bounded (-CTX_PREV,-1) frame sees
+    #      its cross-boundary predecessors.  A hot conversation now
+    #      spreads over n_turns/CTX_CHUNK tasks.  Correctness of the
+    #      halo relies on the T1 ordering contract: turn_idx is the
+    #      DENSE per-conversation position (0,1,2,…), which is what
+    #      both the driver's transcripts and turn_order/T1 emit.
+    #   2. the per-conversation fingerprint/gate quantities are ALL
+    #      commutative, so they aggregate from the chunked frame with
+    #      map-side partials (each (conv,chunk) task pre-collapses to
+    #      one partial row — the hot key arrives at its reducer as
+    #      ~n_chunks partials, never as raw rows) — skew-immune by
+    #      construction.
+    #   3. the duplicate winner (min conv_id per fingerprint) moves to
+    #      the CONVERSATION-level stats frame — the old form ran it as
+    #      a window over 30M per-turn rows, re-creating the same hot
+    #      partition under _fp.
+    #
+    # Everything still reads the text exactly ONCE (the chunked frame
+    # carries the hash halves/length through its single exchange and
+    # stats aggregate from it, not from a second scan).
+    chunk = F.floor(F.col("turn_idx") / CTX_CHUNK)
+    main = rows.withColumn("_chunk", chunk).withColumn("_halo", F.lit(False))
+    halo = (
+        rows.where(F.col("turn_idx") % CTX_CHUNK >= CTX_CHUNK - CTX_PREV)
+        .withColumn("_chunk", chunk + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    wctx = (
+        Window.partitionBy("conv_id", "_chunk")
         .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        .rowsBetween(-CTX_PREV, -1)
     )
-    wctx = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-CTX_PREV, -1)
-    rows = rows.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tok",
-        F.xxhash64(
-            F.sum("_h_lo").over(wc), F.sum("_h_hi").over(wc), F.count("*").over(wc)
-        ).alias("_fp"),
-        F.count("*").over(wc).alias("_n_turns"),
-        F.avg("_tlen").over(wc).alias("_mean_len"),
-        (F.coalesce(F.sum(F.col("tok") + 1).over(wctx), F.lit(1)) - 1).alias("ctx_tok"),
+    rows = (
+        main.unionByName(halo)
+        .withColumn(
+            "ctx_tok",
+            F.coalesce(F.sum(F.col("tok") + 1).over(wctx), F.lit(1)) - 1,
+        )
+        .where(~F.col("_halo"))
     )
-    # quality gate FIRST (row-local once the windows ran — drops whole
-    # conversations before the fingerprint exchange; safe to reorder
-    # around winner selection because duplicates have identical
-    # (turn_idx, text) sequences and therefore identical gate
-    # outcomes), then duplicate winner = min(conv_id) per fingerprint
-    # via a window over the surviving ~56-byte arithmetic rows.  The
-    # role filter stays AFTER the winner window: role is not part of
-    # the duplicate spec, so the winner must be chosen among all turns.
-    gated_rows = rows.where(
+    # conversation stats from the chunked frame: commutative partials
+    # (sum/sum/count/avg) — the exchange carries ~one row per
+    # (conv, chunk), reducers see no raw-row skew
+    stats = rows.groupBy("conv_id").agg(
+        F.sum("_h_lo").alias("_s_lo"),
+        F.sum("_h_hi").alias("_s_hi"),
+        F.count("*").alias("_n_turns"),
+        F.avg("_tlen").alias("_mean_len"),
+    )
+    gated = stats.where(
         (F.col("_n_turns") >= min_turns) & F.col("_mean_len").between(*len_band)
+    ).select(
+        "conv_id", F.xxhash64("_s_lo", "_s_hi", "_n_turns").alias("_fp")
     )
-    wf = Window.partitionBy("_fp")
-    pairs = (
-        gated_rows.withColumn("_winner", F.min("conv_id").over(wf))
-        .where((F.col("conv_id") == F.col("_winner")) & (F.col("role") == "assistant"))
+    # winner per duplicate class at CONVERSATION granularity (gate
+    # outcomes are identical across duplicates, so gating first is
+    # unchanged semantics)
+    survivors = (
+        gated.groupBy("_fp")
+        .agg(F.min("conv_id").alias("conv_id"))
+        .select("conv_id")
+    )
+    pairs = rows.join(F.broadcast(survivors), "conv_id", "left_semi").where(
+        F.col("role") == "assistant"
     )
     toks = pairs.select(
         "conv_id",

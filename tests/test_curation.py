@@ -417,3 +417,78 @@ def test_dup_winner_chosen_among_all_roles(spark):
     got = curate_transcripts(t, shards=4, min_turns=2, len_band=(0.0, 1e9)).collect()
     # only conv 'c' contributes pairs: one assistant turn -> one sequence
     assert len(got) == 1 and got[0]["n_pairs"] == 1
+
+
+def test_chunked_ctx_window_matches_plain_window(spark, monkeypatch):
+    """The round-4 skew-proof context window (per (conv_id, chunk) with
+    a CTX_PREV halo) must be value-identical to the plain per-conv
+    window — exercised ACROSS chunk boundaries by shrinking CTX_CHUNK
+    below the conversation length."""
+    from pyspark.sql import Window
+
+    from lnex_spark.operators import curation
+
+    monkeypatch.setattr(curation, "CTX_CHUNK", 8)
+    rows = []
+    for c in range(3):
+        for i in range(30):  # 30 turns >> chunk width 8
+            rows.append(
+                (f"c{c}", i, "assistant" if i % 2 else "user",
+                 f"word " * ((i * 7 + c) % 9 + 1))
+            )
+    # one duplicate conversation (same (turn_idx, text) sequence as c0)
+    rows += [("zdup", i, r, t) for (cid, i, r, t) in rows if cid == "c0"]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    got = sorted(
+        tuple(r)
+        for r in curation.curate_transcripts(
+            t, budget=25, shards=16, min_turns=2, len_band=(1.0, 1e5)
+        ).collect()
+    )
+
+    # reference: the pre-rewrite single-window formulation
+    h = F.xxhash64("turn_idx", "text")
+    base = t.select(
+        "conv_id", "turn_idx", "role",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("tok"),
+        F.length("text").alias("_tlen"),
+        h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h_lo"),
+        F.shiftrightunsigned(h, 32).alias("_h_hi"),
+    )
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wctx = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-3, -1)
+    ref_rows = base.select(
+        "conv_id", "turn_idx", "role", "tok",
+        F.xxhash64(F.sum("_h_lo").over(wc), F.sum("_h_hi").over(wc),
+                   F.count("*").over(wc)).alias("_fp"),
+        F.count("*").over(wc).alias("_n"),
+        F.avg("_tlen").over(wc).alias("_ml"),
+        (F.coalesce(F.sum(F.col("tok") + 1).over(wctx), F.lit(1)) - 1).alias("ctx_tok"),
+    ).where((F.col("_n") >= 2) & F.col("_ml").between(1.0, 1e5))
+    wf = Window.partitionBy("_fp")
+    ref_pairs = ref_rows.withColumn("_w", F.min("conv_id").over(wf)).where(
+        (F.col("conv_id") == F.col("_w")) & (F.col("role") == "assistant")
+    )
+    ref_toks = ref_pairs.select(
+        "conv_id", "turn_idx",
+        (F.col("ctx_tok") + F.col("tok")).alias("n_tok"),
+        (F.conv(F.substring(F.md5("conv_id"), 1, 4), 16, 10).cast("int") % 16).alias("shard"),
+    )
+    cum_w = Window.partitionBy("shard").orderBy("conv_id", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = sorted(
+        tuple(r)
+        for r in ref_toks.withColumn("cum", F.sum("n_tok").over(cum_w))
+        .groupBy(
+            (F.col("shard") * F.lit(1 << 40)
+             + F.floor((F.col("cum") - F.col("n_tok")) / 25)).cast("long").alias("seq_id")
+        )
+        .agg(F.count("*").alias("n_pairs"), F.sum("n_tok").cast("long").alias("n_tokens"))
+        .collect()
+    )
+    assert got == ref
+    assert len(got) > 3  # the fixture actually packs several sequences

@@ -43,6 +43,9 @@ def main() -> int:
     t = (
         transcripts_from_documents(docs, replicas=replicas)
         .select("conv_id", "turn_idx", "role", "text")
+        .repartition(cores * 2)  # match bench.py's input layout — the
+        # derived frame otherwise inherits the tiny parquet scan's
+        # partition count and caps every stage at ~4 tasks
         .persist()
     )
     n_turns = t.count()
