@@ -322,12 +322,25 @@ def emit_training_pairs(
     clean = t.join(F.broadcast(gated), "conv_id").withColumn(
         "scrubbed", F.regexp_replace("text", PII_DIGIT_RUN, PII_DIGIT_TOKEN)
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-CTX_PREV, -1)
+    # chunked context window with a CTX_PREV halo (same skew-proof
+    # shape as curate_transcripts, round 4): the write-time string
+    # stage must not pin a hot conversation to one task either
+    chunk = F.floor(F.col("turn_idx") / CTX_CHUNK)
+    main = clean.withColumn("_chunk", chunk).withColumn("_halo", F.lit(False))
+    halo = (
+        clean.where(F.col("turn_idx") % CTX_CHUNK >= CTX_CHUNK - CTX_PREV)
+        .withColumn("_chunk", chunk + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    w = (
+        Window.partitionBy("conv_id", "_chunk")
+        .orderBy("turn_idx")
+        .rowsBetween(-CTX_PREV, -1)
+    )
     return (
-        clean.withColumn(
-            "context", F.concat_ws(SEP, F.collect_list("scrubbed").over(w))
-        )
-        .where(F.col("role") == "assistant")
+        main.unionByName(halo)
+        .withColumn("context", F.concat_ws(SEP, F.collect_list("scrubbed").over(w)))
+        .where(~F.col("_halo") & (F.col("role") == "assistant"))
         .select("conv_id", "turn_idx", "context", F.col("scrubbed").alias("target"))
     )
 

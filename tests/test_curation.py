@@ -492,3 +492,38 @@ def test_chunked_ctx_window_matches_plain_window(spark, monkeypatch):
     )
     assert got == ref
     assert len(got) > 3  # the fixture actually packs several sequences
+
+
+def test_emit_pairs_chunked_context_matches_plain_window(spark, monkeypatch):
+    """emit_training_pairs' string context assembly under the chunked
+    halo window must equal the plain per-conv window across chunk
+    boundaries."""
+    from pyspark.sql import Window
+
+    from lnex_spark.operators import curation
+
+    monkeypatch.setattr(curation, "CTX_CHUNK", 8)
+    rows = []
+    for i in range(30):
+        rows.append(("cA", i, "assistant" if i % 2 else "user", f"turn number {i} body 12345"))
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    got = sorted(
+        (r["turn_idx"], r["context"], r["target"])
+        for r in curation.emit_training_pairs(t, min_turns=2, len_band=(1.0, 1e5)).collect()
+    )
+    gated = curation.surviving_conversations(t, 2, (1.0, 1e5))
+    clean = t.join(F.broadcast(gated), "conv_id").withColumn(
+        "scrubbed", F.regexp_replace("text", curation.PII_DIGIT_RUN, curation.PII_DIGIT_TOKEN)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-curation.CTX_PREV, -1)
+    ref = sorted(
+        (r["turn_idx"], r["context"], r["target"])
+        for r in clean.withColumn(
+            "context", F.concat_ws(curation.SEP, F.collect_list("scrubbed").over(w))
+        ).where(F.col("role") == "assistant")
+        .select("turn_idx", "context", F.col("scrubbed").alias("target"))
+        .collect()
+    )
+    assert got == ref and len(got) == 15
+    assert "<NUM>" in got[0][2]  # PII mask applied to targets too
