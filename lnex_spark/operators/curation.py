@@ -371,10 +371,16 @@ def curate_transcripts(
     aggregates map-side (partial sums/count/avg), so the groupBy
     exchange carries conversation cardinality only.  The survivor list
     broadcasts back; the context/packing windows then shuffle only
-    (conv_id, turn_idx, role, tok:int) rows for surviving
-    conversations — text NEVER enters a shuffle (the first version
-    shuffled the full text volume twice and measured 4→16-core
-    scaling eff 0.56 at 10M turns).  The packing cumsum is a window
+    (conv_id, turn_idx, role, tok:int) rows — text NEVER enters a
+    shuffle (the first version shuffled the full text volume twice and
+    measured 4→16-core scaling eff 0.56 at 10M turns), and since
+    round 4 no per-turn stage is keyed on BARE conv_id either: the
+    context window runs per (conv_id, turn_idx div CTX_CHUNK) with a
+    CTX_PREV-row halo, so the north rule's long-tail hot conversation
+    spreads across tasks instead of pinning one (measured: the fused
+    conv-window scaled 0.43 for 4→16 cores at 30M turns with the
+    20%-hot key; this shape lifted end-to-end curation scaling to
+    0.807 and cut 16-core wall 42%).  The packing cumsum is a window
     over an md5-derived shard key — never global, so no
     single-partition running sum at 10^12 turns.  Sequences never
     straddle shards, so per-shard budgets lose nothing.  Zero Python
