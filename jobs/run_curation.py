@@ -32,6 +32,8 @@ import json
 import sys
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
@@ -108,8 +110,16 @@ def main(argv=None) -> None:
             try:
                 state = spark.read.parquet(args.state)
                 state.schema  # force analysis so a missing path raises here
-            except Exception:
-                exists = False
+            except AnalysisException as ex:
+                # ONLY a definitive path-not-found may mean "first run".
+                # Any other failure (transient IO, permissions, schema)
+                # on an EXISTING state table must abort: classifying it
+                # as absent would re-emit every already-processed
+                # conversation and append duplicate fingerprints.
+                if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+                    exists = False
+                else:
+                    raise
             else:
                 exists = True
         if exists:

@@ -315,11 +315,21 @@ def emit_training_pairs(
     ' <SEP> '.  This is the ONLY place assembled strings exist —
     ``curate_transcripts`` plans the packing from token arithmetic
     alone, so string bytes hit exactly one shuffle (this one), only
-    for survivors, only at write time."""
+    for survivors, only at write time.
+
+    CONTRACT (same as ``curate_transcripts``): ``turn_idx`` must be
+    DENSE per conversation (0,1,2,… with no gaps).  The cross-chunk
+    halo is selected by ``turn_idx % CTX_CHUNK``, so a gapped index
+    can silently lose context predecessors that fall across a chunk
+    boundary — re-index with a per-conversation row_number first if
+    the source index has holes."""
     from pyspark.sql import Window
 
+    # no broadcast hint on the conversation-cardinality gate table —
+    # forced broadcast fails outright past the driver limit at the
+    # 10^12-turn design point; AQE still picks broadcast when small
     gated = surviving_conversations(t, min_turns, len_band)
-    clean = t.join(F.broadcast(gated), "conv_id").withColumn(
+    clean = t.join(gated, "conv_id").withColumn(
         "scrubbed", F.regexp_replace("text", PII_DIGIT_RUN, PII_DIGIT_TOKEN)
     )
     # chunked context window with a CTX_PREV halo (same skew-proof
@@ -506,7 +516,13 @@ def curate_transcripts(
         .agg(F.min("conv_id").alias("conv_id"))
         .select("conv_id")
     )
-    pairs = rows.join(F.broadcast(survivors), "conv_id", "left_semi").where(
+    # no broadcast hint: survivors is conversation-cardinality — at the
+    # module's 10^12-turn design point that is 10^8-10^9 rows, far past
+    # any broadcast threshold, and a FORCED broadcast would fail where
+    # a shuffled left_semi degrades gracefully.  AQE picks broadcast on
+    # its own whenever the runtime size is actually small (the local
+    # bench case), so the hint bought nothing but the failure mode.
+    pairs = rows.join(survivors, "conv_id", "left_semi").where(
         F.col("role") == "assistant"
     )
     toks = pairs.select(

@@ -95,18 +95,31 @@ def _collect_splitters(
     every choice (including none) yields correct results."""
     proj = df.select(*[k.alias(f"_sw_k{i}") for i, (k, _, _) in enumerate(keys)])
     h = F.xxhash64(*[F.col(f"_sw_k{i}") for i in range(len(keys))])
+    # Pushdown barrier: under ANSI mode Catalyst would push a plain
+    # deterministic hash filter below the caller's plan — it gets
+    # merged INTO a join condition ahead of the join's own guarding
+    # conjunct (e.g. theilsen's (xb-xa)/(tb-ta) with tb>ta), evaluating
+    # the division on rows the guard excludes and failing the sample
+    # job with DIVIDE_BY_ZERO.  Adding monotonically_increasing_id()*0
+    # to the hash marks the WHOLE predicate nondeterministic
+    # (PushDownPredicates skips it; it is one conjunct, so And-splitting
+    # cannot take it apart) while its VALUE stays exactly the
+    # deterministic content hash — mid() is non-null and x*0 is not
+    # folded for non-literal x.  Rejected barriers, both erased by
+    # Spark 4's optimizer (verified: the folded filter landed inside
+    # the BNLJ condition before tb > ta): rand(seed) >= -1
+    # (constant-folds against rand's known [0,1) range) and
+    # when(isnotnull(uuid()), ...) (uuid is non-nullable, so the
+    # branch folds away).  The barrier'd filter evaluates above the
+    # join in plan order, where the caller's guards have already run.
+    pred = (
+        F.pmod(h + F.monotonically_increasing_id() * F.lit(0), F.lit(_SAMPLE_MOD)) == 0
+    )
     try:
-        samp = [
-            tuple(r)
-            for r in proj.filter(F.pmod(h, F.lit(_SAMPLE_MOD)) == 0)
-            .limit(_SAMPLE_CAP)
-            .collect()
-        ]
+        samp = [tuple(r) for r in proj.filter(pred).limit(_SAMPLE_CAP).collect()]
     except Exception:
-        # Under ANSI mode Catalyst may push the hash filter into a join
-        # ahead of the join's own guarding condition, evaluating a
-        # caller expression (e.g. a division) on rows the guard would
-        # have excluded.  Fall back to a head sample — splitters only
+        # belt-and-suspenders: any residual analysis/runtime failure of
+        # the sample job degrades to a head sample — splitters only
         # steer balance, any set is correct.
         samp = []
     if len(samp) < 4 * n_parts:
@@ -289,7 +302,20 @@ def attach_rank_ties(
     (rank() tie groups are defined by ordering-key equality)."""
     d = attach_rank(df, order, rank_col="__sw_rn_t", n_parts=n_parts)
     firsts = d.groupBy(*order_key_cols).agg(F.min("__sw_rn_t").alias(rank_col))
-    return d.join(firsts, order_key_cols).drop("__sw_rn_t")
+    # null-SAFE equi-join: rank() keeps rows whose ordering key is NULL
+    # (they form their own tie group, exactly as groupBy grouped them);
+    # a plain equi-join on the key columns would silently drop them
+    renamed = firsts.select(
+        *[F.col(c).alias(f"__sw_tk_{i}") for i, c in enumerate(order_key_cols)],
+        rank_col,
+    )
+    cond = None
+    for i, c in enumerate(order_key_cols):
+        this = d[c].eqNullSafe(renamed[f"__sw_tk_{i}"])
+        cond = this if cond is None else (cond & this)
+    return d.join(renamed, cond).drop(
+        "__sw_rn_t", *[f"__sw_tk_{i}" for i in range(len(order_key_cols))]
+    )
 
 
 def attach_shift(

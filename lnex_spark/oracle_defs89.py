@@ -68,26 +68,34 @@ def negsample_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = cnt.select("tok", "c", F.pow(F.col("c") * 1.0, 0.75).alias("w"))
     tot = sm.agg(F.sum("w").alias("z"))
     # vocabulary-sized ranking — Heaps-law unbounded, so distributed
-    # rank + prefix sum (round-4 window audit).  The emitted rows
-    # (rk <= 10) all sit in the first bucket, whose running sum is the
-    # same sequential left-to-right addition as the global window's —
-    # bit-identical doubles.
+    # rank (round-4 window audit).  The running sum, however, is NOT
+    # taken from attach_rank: its bucketed form adds hash-agg partial
+    # sums whose order is nondeterministic, so doubles can differ in
+    # the last ULP from a sequential window whenever a splitter lands
+    # inside the reported head.  Since only rk <= 10 is emitted — and
+    # those ARE the first 10 rows of the global order — rank first,
+    # filter to the 10-row head, then cumsum with a window bounded by
+    # the LITERAL 10, which is sequential left-to-right by
+    # construction: deterministic doubles at any splitter choice.
     from lnex_spark.operators.scalable_windows import attach_rank
 
     ranked = attach_rank(
         sm.crossJoin(tot).withColumn("p", F.col("w") / F.col("z")),
         [F.desc("w"), F.asc("tok")],
         rank_col="rk",
-        cumsum_of=F.col("w") / F.col("z"),
-        cumsum_col="cum_hi",
-    ).select("tok", "c", "p", "rk", "cum_hi")
-    return ranked.filter(F.col("rk") <= 10).select(
-        "rk",
-        "tok",
-        "c",
-        F.round("p", 6).alias("p"),
-        F.round(F.col("cum_hi") - F.col("p"), 6).alias("cum_lo"),
-        F.round("cum_hi", 6).alias("cum_hi"),
+    ).select("tok", "c", "p", "rk")
+    head_w = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.filter(F.col("rk") <= 10)
+        .withColumn("cum_hi", F.sum("p").over(head_w))
+        .select(
+            "rk",
+            "tok",
+            "c",
+            F.round("p", 6).alias("p"),
+            F.round(F.col("cum_hi") - F.col("p"), 6).alias("cum_lo"),
+            F.round("cum_hi", 6).alias("cum_hi"),
+        )
     )
 
 

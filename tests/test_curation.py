@@ -333,10 +333,9 @@ def test_driver_window_order_contract():
     assert len(_PRIORITY) == 50
     sql = E.oracle_sql()
     rows_only = {k for k in _PRIORITY if k not in sql}
-    # round-4 window: only the flagship sentinel lacks a SQL oracle
-    # (rows-only by design; its kg_e2e_sql twin is registered outside
-    # the window) — every other slot is hash-checkable
-    assert rows_only == {"flagship_kg_triples"}
+    # round-5 window: 100% never-driver-checked ops (VERDICT r04 item
+    # 1), every slot hash-checkable — no rows-only entries
+    assert rows_only == set()
 
 
 def test_classify_new_conversations(spark):
