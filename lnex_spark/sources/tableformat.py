@@ -17,11 +17,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
+    # runtime SQL confs first: spark.sql.catalog.* is resolved lazily
+    # at first catalog use, so a catalog registered via spark.conf.set
+    # AFTER session start (the jar-gated integration test, notebook
+    # sessions) is just as live as one baked into the SparkConf —
+    # the static SparkContext conf alone would miss it
     try:
-        confs = spark.sparkContext.getConf().getAll()
+        confs = dict(spark.conf.getAll)
     except Exception:
-        return False
-    return any(k.startswith("spark.sql.catalog.") and "iceberg" in v.lower() for k, v in confs)
+        confs = {}
+    if not confs:
+        try:
+            confs = dict(spark.sparkContext.getConf().getAll())
+        except Exception:
+            return False
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in confs.items()
+    )
 
 
 def read_table(

@@ -265,6 +265,65 @@ def test_ivfpq_duplicate_found_and_partition_invariant(emb):
     assert got == run(emb.repartition(5))
 
 
+def test_trained_pq_codebook_drops_into_adc_path(emb):
+    # production-recall codebook (per-subspace Lloyd over a bounded
+    # sample) must be shape-compatible, deterministic, and carry the
+    # exact-duplicate invariant through the SAME integer-ADC path
+    cb = similarity.train_pq_codebook(emb, m_subspaces=4, n_codes=8, sample_n=16, iters=4)
+    assert cb.shape == (4, 8, 4) and cb.dtype.kind == "i"
+    cb2 = similarity.train_pq_codebook(emb, m_subspaces=4, n_codes=8, sample_n=16, iters=4)
+    assert (cb == cb2).all()
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.pq_adc_topk(emb, q, m_subspaces=4, n_codes=8, k=3, codebook=cb).collect()
+    top = sorted(got, key=lambda r: r["rank"])[0]
+    # vec 20 is an exact copy of vec 0: identical codes under ANY
+    # codebook -> minimal possible adc -> rank 1.  (adc is only 0 when
+    # the query itself is a codebook entry — true for the default
+    # first-K codebook, not for a trained one: ADC is asymmetric, the
+    # query side is never encoded.)
+    assert (top["vec_id"], top["rank"]) == (20, 1)
+    assert top["adc"] == min(r["adc"] for r in got)
+    got2 = similarity.ann_ivfpq_topk(
+        emb, q, n_cells=4, nprobe=2, m_subspaces=4, n_codes=8, k=3, codebook=cb
+    ).collect()
+    top2 = sorted(got2, key=lambda r: r["rank"])[0]
+    assert (top2["vec_id"], top2["rank"]) == (20, 1)
+
+
+def test_ivf_pruned_index_matches_relational_ivf(emb, tmp_path, spark):
+    # the cell-partitioned index path must be result-identical to the
+    # relational IVF (same probe rule, round-6 cosine, rank ties) while
+    # its scan plans ONLY the probed cells (partition pruning)
+    cents = emb.filter("vec_id < 4").select(
+        F.col("vec_id").cast("int").alias("cell_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(emb, cents, idx)
+    # Arrow assignment must agree with the relational assigner exactly
+    rel = {
+        (r["vec_id"], r["cell_id"])
+        for r in similarity.ivf_assign(emb, cents).select("vec_id", "cell_id").collect()
+    }
+    arr = {
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(idx).select("vec_id", "cell_id").collect()
+    }
+    assert arr == rel
+    q = emb.filter("vec_id IN (0, 5)").select(F.col("vec_id").alias("query_id"), "embedding")
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.cosine_topk_ivf(emb, q, nprobe=2, k=3, centroids=cents).collect()
+    )
+    pruned = similarity.cosine_topk_ivf_pruned(spark, idx, q, cents, nprobe=2, k=3)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"]) for r in pruned.collect()
+    )
+    assert got == want
+    # the probed-cell filter must reach the scan as a partition filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+
+
 def test_semantic_dedup_keeps_one_per_dup_group(emb):
     got = {r["vec_id"]: r for r in similarity.semantic_dedup(emb, n_cells=4, tau=0.99).collect()}
     assert len(got) == 22  # every input vector classified
