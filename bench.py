@@ -75,8 +75,16 @@ def main() -> None:
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
 
+    # BENCH_DENSE_TURNS=1 derives a DENSE per-conversation turn_idx —
+    # the layout curate_transcripts' chunked-halo window contracts for
+    # (the default gapped layout is kept for headline continuity with
+    # r1-r4 and is fine as pure volume for the other queries; the
+    # dense derivation pays a one-time hot-partition window OUTSIDE
+    # the timed region).  The curation timing is recorded under
+    # curation_e2e_dense so scaling bests never mix layouts.
+    dense = os.environ.get("BENCH_DENSE_TURNS") == "1"
     transcripts = transcripts_from_documents(
-        docs, "chennai", replicas=REPLICAS, dense_turn_idx=False
+        docs, "chennai", replicas=REPLICAS, dense_turn_idx=dense
     ).repartition(cpus * 2)
     # materialize the derived input once so the flagship timing measures
     # the ENGINE, not the synthetic-data generator
@@ -266,7 +274,7 @@ def main() -> None:
     # identical packing (fair scaling comparison; at 100 TB you'd use
     # ~4x total cores).
     run(
-        "curation_e2e",
+        "curation_e2e_dense" if dense else "curation_e2e",
         lambda: curate_transcripts(
             transcripts.select("conv_id", "turn_idx", "role", "text"),
             shards=256,
