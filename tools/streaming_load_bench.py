@@ -103,21 +103,35 @@ def build_query(name: str, src, ckpt: str):
 
 def drive(spark, name: str, rate: int, duration: int, cpus: int) -> dict:
     src = synth_stream(spark, rate, cpus)
-    with tempfile.TemporaryDirectory(prefix=f"slb_{name}_") as ckpt:
+    # ignore_cleanup_errors: query.stop() returns before the checkpoint
+    # writer fully quiesces, so rmtree can race a late offset/state file
+    with tempfile.TemporaryDirectory(
+        prefix=f"slb_{name}_", ignore_cleanup_errors=True
+    ) as ckpt:
         q = build_query(name, src, ckpt)
         t0 = time.monotonic()
         progresses: dict[int, dict] = {}
+
+        def harvest() -> None:
+            # recentProgress, not lastProgress: batches can complete in
+            # well under the poll interval, and a lastProgress poll
+            # silently skips them — undercounting input_rows and
+            # misreading a keeping-up query as "behind the rate"
+            for p in q.recentProgress:
+                if p and p.get("numInputRows") is not None:
+                    progresses[p["batchId"]] = p
+
         try:
             while time.monotonic() - t0 < duration:
-                time.sleep(0.5)
-                p = q.lastProgress
-                if p and p.get("numInputRows", 0) is not None:
-                    progresses[p["batchId"]] = p
+                time.sleep(1.0)
+                harvest()
         finally:
-            last = q.lastProgress
+            harvest()
             q.stop()
-        if last:
-            progresses[last["batchId"]] = last
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
 
     # drop the warm-up batch (triggers JIT + python worker fork for the
     # stateful op) — sustained load is the steady-state number
