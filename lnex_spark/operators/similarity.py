@@ -297,10 +297,14 @@ def _assign_np(X: np.ndarray, cids: np.ndarray, Cn: np.ndarray) -> np.ndarray:
     """Nearest-centroid cell per row, EXACTLY ivf_assign's rule:
     round(cosine, 6) desc, cell_id asc on ties.  round-to-6 makes the
     key integer-exact, so the tiebreak encodes as one int64 argmax:
-    csim_int * (max_cell+2) - cell_id."""
+    csim_int * (max_cell+2) - cell_id.  np.rint, NOT astype: a round-6
+    value like 0.000249 stores as 248.99999999999997 × 1e-6, and a
+    truncating cast maps it to 248 — collapsing strictly-ordered
+    cosines into false ties (and truncating negatives toward zero),
+    which diverges from the relational twin on ~1% of grid values."""
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     S = np.round(Xn @ Cn.T, 6)
-    key = (S * 1_000_000).astype(np.int64) * (int(cids.max()) + 2) - cids[None, :]
+    key = np.rint(S * 1_000_000).astype(np.int64) * (int(cids.max()) + 2) - cids[None, :]
     return cids[np.argmax(key, axis=1)]
 
 
@@ -377,15 +381,19 @@ def cosine_topk_ivf_pruned(
     q_ids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    # probes: round-6 csim desc, cell_id asc — same int64 key as assign
+    # probes: round-6 csim desc, cell_id asc — same int64 key (and the
+    # same np.rint guard against truncation) as _assign_np
     Sq = np.round(Qn @ Cn.T, 6)
-    key = (Sq * 1_000_000).astype(np.int64) * (int(cids.max()) + 2) - cids[None, :]
+    key = np.rint(Sq * 1_000_000).astype(np.int64) * (int(cids.max()) + 2) - cids[None, :]
     order = np.argsort(-key, axis=1, kind="stable")[:, :nprobe]
     probe_cells = cids[order]  # (Q, nprobe)
-    max_cell = int(cids.max())
-    pmask = np.zeros((len(q_ids), max_cell + 1), dtype=bool)
+    # compact (Q, n_cells) membership mask indexed by POSITION in the
+    # sorted cids, not by raw cell id — cell ids can be sparse/large
+    # (the module's own default centroids use vec_id as cell_id), and
+    # a max-id-sized dense mask would scale with the id space
+    pmask = np.zeros((len(q_ids), len(cids)), dtype=bool)
     for qi in range(len(q_ids)):
-        pmask[qi, probe_cells[qi]] = True
+        pmask[qi, order[qi]] = True
     cells_union = sorted({int(c) for row in probe_cells for c in row})
 
     def score(batches):
@@ -396,10 +404,13 @@ def cosine_topk_ivf_pruned(
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             S = np.round(Xn @ Qn.T, 6)  # (b, Q)
             vids = pdf["vec_id"].to_numpy()
-            cells = pdf["cell_id"].to_numpy()
+            # map raw cell ids -> positions in sorted cids (every cell
+            # in the scan is a centroid cell by construction of the
+            # index write + the cells_union filter)
+            cpos = np.searchsorted(cids, pdf["cell_id"].to_numpy())
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(q_ids):
-                mask = pmask[j, cells] & (vids != qid)
+                mask = pmask[j, cpos] & (vids != qid)
                 vv, cc = vids[mask], S[mask, j]
                 if not len(vv):
                     continue

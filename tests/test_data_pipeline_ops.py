@@ -290,6 +290,21 @@ def test_trained_pq_codebook_drops_into_adc_path(emb):
     assert (top2["vec_id"], top2["rank"]) == (20, 1)
 
 
+def test_assign_np_round6_grid_boundary():
+    # round-6 grid values whose double repr sits BELOW the integer
+    # (0.000249*1e6 = 248.99999999999997): a truncating int cast would
+    # collapse 0.000249 and 0.000248 into the same key and let the
+    # cell-id tiebreak pick the WRONG cell — np.rint must keep them
+    # strictly ordered, matching the relational ivf_assign
+    import numpy as np
+
+    a, b = 0.000248, 0.000249
+    x = np.array([[a, b, float(np.sqrt(1 - a * a - b * b))]])
+    cn = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    cids = np.array([0, 1], dtype=np.int64)
+    assert similarity._assign_np(x, cids, cn)[0] == 1
+
+
 def test_ivf_pruned_index_matches_relational_ivf(emb, tmp_path, spark):
     # the cell-partitioned index path must be result-identical to the
     # relational IVF (same probe rule, round-6 cosine, rank ties) while

@@ -128,7 +128,11 @@ def test_seam_routes_catalog_names_to_iceberg(spark, iceberg_catalog):
     the parquet arm (both through the same seam entrypoint)."""
     from lnex_spark.sources import tableformat as tf
 
-    assert tf._iceberg_available(spark) or True  # conf source may differ
+    # the fixture just set an iceberg catalog conf at runtime — the
+    # seam's detector MUST see it (this is the regression this test
+    # exists to catch; a tautological assert here would let the
+    # parquet arm silently swallow catalog names)
+    assert tf._iceberg_available(spark)
     df = spark.createDataFrame([("a", 1)], "k string, v int")
     # path-style target must still write parquet, catalog or not
     out = str(Path(spark.conf.get(f"spark.sql.catalog.{_CATALOG}.warehouse")).parent / "plain")

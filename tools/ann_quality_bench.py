@@ -121,7 +121,16 @@ def main() -> int:
 
     # queries: every 1/Q-th corpus vector, perturbed (rng stream 7)
     stride = max(1, n // args.queries)
-    qrows = emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * args.queries)).collect()
+    # sort before consuming the perturbation rng stream: collect()
+    # order depends on partitioning, and a sequential rng consumed in
+    # collect order would make the query set (hence every recall
+    # number) vary with --cpus
+    qrows = sorted(
+        emb.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * args.queries)
+        ).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
     rngq = np.random.default_rng(7)
     qdata = [
         (
