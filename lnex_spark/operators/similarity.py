@@ -285,23 +285,39 @@ def cosine_topk_ivf(
 
 def _centroid_mat(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(cell_ids int64[], Cn normalized float64[k, d]) — driver-side
-    copy of the coarse quantizer (always tiny by contract)."""
+    copy of the coarse quantizer (always tiny by contract).  cell_id
+    must be unique: the positional probe mask in
+    cosine_topk_ivf_pruned maps scanned rows to positions via
+    searchsorted, which lands on the FIRST duplicate — a silent
+    candidate drop — so duplicates are rejected here."""
     rows = sorted(centroids.collect(), key=lambda r: int(r["cell_id"]))
     cids = np.array([int(r["cell_id"]) for r in rows], dtype=np.int64)
+    if len(np.unique(cids)) != len(cids):
+        raise ValueError("centroids must have unique cell_id values")
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     return cids, Cn
 
 
 def _assign_np(X: np.ndarray, cids: np.ndarray, Cn: np.ndarray) -> np.ndarray:
-    """Nearest-centroid cell per row, EXACTLY ivf_assign's rule:
+    """Nearest-centroid cell per row under ivf_assign's rule:
     round(cosine, 6) desc, cell_id asc on ties.  round-to-6 makes the
     key integer-exact, so the tiebreak encodes as one int64 argmax:
     csim_int * (max_cell+2) - cell_id.  np.rint, NOT astype: a round-6
     value like 0.000249 stores as 248.99999999999997 × 1e-6, and a
     truncating cast maps it to 248 — collapsing strictly-ordered
     cosines into false ties (and truncating negatives toward zero),
-    which diverges from the relational twin on ~1% of grid values."""
+    which diverges from the relational twin on ~1% of grid values.
+
+    Parity contract: same as the module's other Arrow twins
+    (cosine_topk_bruteforce_arrow etc.) — np.round is half-even on the
+    stored double while Spark's F.round is HALF_UP on its shortest
+    decimal repr, so a cosine landing EXACTLY on a round-6 half-grid
+    point (e.g. 2.5e-6) can round differently, and BLAS-vs-fold
+    summation order can differ in the last ulp near grid boundaries.
+    These are measure-zero on real-valued data; the pinned parity
+    tests and the driver's hash oracles verify agreement on the actual
+    corpora, not a proof over every representable double."""
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     S = np.round(Xn @ Cn.T, 6)
     key = np.rint(S * 1_000_000).astype(np.int64) * (int(cids.max()) + 2) - cids[None, :]

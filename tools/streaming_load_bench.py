@@ -14,19 +14,20 @@ duration through the two stateful shapes the engine ships:
   dedup_watermark     dropDuplicatesWithinWatermark on (conv_id, norm)
                       — the built-in dedup state operator
 
-Per query it samples StreamingQuery.lastProgress every 500 ms and
-reports one JSON line:
+Per query it harvests StreamingQuery.recentProgress every second
+(lastProgress polling misses sub-interval batches and undercounts
+input rows) and reports one JSON line:
 
   {"query": ..., "target_rows_per_sec": R, "duration_sec": D,
-   "batches": n, "input_rows": N,
+   "batches": n, "input_rows": N, "achieved_rows_per_sec": ...,
    "avg_process_rows_per_sec": ..., "p95_batch_ms": ...,
-   "sustained": avg_process >= 0.95 * avg_input,
+   "batch_ms_trend": ..., "sustained": ...,
    "state_rows": ..., "state_mb": ..., "watermark_lag_sec_end": ...}
 
-``sustained`` is the pass signal: the query keeps up when its
-processing rate matches the input rate (a falling-behind query shows
-processedRowsPerSecond < inputRowsPerSecond and a growing batch
-backlog).  Usage:
+``sustained`` (see the comment in ``drive``): achieved ≥ 0.9×target
+AND end watermark lag ≈ the 30s delay AND batch durations not
+trending up — per-batch inputRowsPerSecond is NOT usable because the
+rate source backfills a startup backlog.  Usage:
 
     python tools/streaming_load_bench.py [rows_per_sec ...] \
         [--duration 45] [--cpus 8] [--query all|windowed_rates|...]
